@@ -1,0 +1,244 @@
+"""PRSC rule application as a single-pass broadcast join + explode.
+
+The reference applies a PRSC context with a per-element driver loop
+(/root/reference/src/prsc/PrscContext.ts:88-155 produceQuads +
+buildRdfTriplesFromRule:186-221). Here the same semantics become ONE
+distributed dataflow:
+
+    elements ──(broadcast join on (kind, labels_key, props_key))── rules
+             ──explode(template triples)── pattern substitution ── triples
+
+* The compiled catalog is tiny -> broadcast join, no shuffle on the big
+  side (SURVEY.md §2.3 J8).
+* Template triples are pre-compiled driver-side into *pattern strings*
+  with NUL-delimited placeholders (self / source / destination /
+  property values / template blank nodes). Instantiation is a chain of
+  `replace()` column expressions — pure JVM string ops inside
+  whole-stage codegen; no Python in the hot path.
+* Strict-match semantics: the reference throws when an element matches
+  no rule (PrscContext.ts:144-146) or a property is multi-valued
+  (PrscContext.ts:126-128). A distributed job must not die per-row, so
+  those rows land in a quarantine DataFrame instead (SURVEY.md §4
+  error-semantics redesign).
+
+Scale notes: one scan of nodes + one of edges, no shuffle except the
+final dropDuplicates (set semantics of the output graph — reference
+DStar.add dedups, dataset/index.ts:114-122). At 100 TB the explode
+multiplies rows by |template| (small constant); AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..contexts.model import (
+    PRSCCatalog,
+    PRSCRule,
+    PVAR_DESTINATION,
+    PVAR_SOURCE,
+    PREC_VALUE_OF,
+    SELF_TERMS,
+)
+from ..pg.projection import sanitize_id_col
+from ..rdf.terms import BlankNode, Literal, NamedNode, Quad, Term
+
+# NUL-delimited placeholders — NUL never appears in term-encoded data.
+PH_SELF = "\x00SELF\x00"
+PH_SRC = "\x00SRC\x00"
+PH_DST = "\x00DST\x00"
+
+
+def _ph_val(key: str) -> str:
+    return f"\x00VAL:{key}\x00"
+
+
+def _ph_bn(name: str) -> str:
+    return f"\x00BN:{name}\x00"
+
+
+def compile_template_term(term: Term) -> str:
+    """Template term -> canonical string with placeholders."""
+    if term in SELF_TERMS:
+        return PH_SELF
+    if term == PVAR_SOURCE:
+        return PH_SRC
+    if term == PVAR_DESTINATION:
+        return PH_DST
+    if isinstance(term, Literal) and term.datatype == PREC_VALUE_OF:
+        return _ph_val(term.value)
+    if isinstance(term, BlankNode):
+        return _ph_bn(term.value)
+    if isinstance(term, Quad):
+        s = compile_template_term(term.s)
+        p = compile_template_term(term.p)
+        o = compile_template_term(term.o)
+        return f"<< {s} {p} {o} >>"
+    return term.nt()
+
+
+@dataclass
+class CompiledCatalog:
+    """Driver-compiled, broadcast-ready form of a PRSC catalog."""
+
+    rows: list[tuple[int, str, str, str, list[list[str]]]]
+    value_keys: list[str]
+    bnode_names: list[str]
+
+    @classmethod
+    def from_catalog(cls, catalog: PRSCCatalog) -> "CompiledCatalog":
+        rows = []
+        value_keys: set[str] = set()
+        bnode_names: set[str] = set()
+        for idx, rule in enumerate(catalog.rules):
+            patterns = []
+            for tt in rule.template:
+                patterns.append(
+                    [
+                        compile_template_term(tt.s),
+                        compile_template_term(tt.p),
+                        compile_template_term(tt.o),
+                    ]
+                )
+            value_keys.update(rule.properties)
+            for tt in rule.template:
+                from ..contexts.model import walk_terms
+
+                for term in walk_terms(tt):
+                    if isinstance(term, BlankNode):
+                        bnode_names.add(term.value)
+            rows.append((idx, rule.kind, rule.labels_key, rule.props_key, patterns))
+        return cls(rows, sorted(value_keys), sorted(bnode_names))
+
+
+def elements_df(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Unified element relation: nodes + edges with src/dst nullable.
+
+    Columns: element_id, kind, labels_key, props_key, properties,
+    self_bn, src_bn, dst_bn, multi_valued (bool).
+    """
+    def common(df: DataFrame, kind: str, labels_col: Column) -> DataFrame:
+        return (
+            df.withColumn("kind", F.lit(kind))
+            .withColumn("labels_key", F.array_join(F.sort_array(labels_col), "|"))
+            .withColumn(
+                "props_key",
+                F.array_join(F.sort_array(F.map_keys(F.col("properties"))), "|"),
+            )
+            .withColumn(
+                "multi_valued",
+                F.exists(F.map_values(F.col("properties")), lambda v: F.size(v) > 1),
+            )
+        )
+
+    n = common(nodes, "node", F.col("labels")).select(
+        F.col("node_id").alias("element_id"),
+        "kind",
+        "labels_key",
+        "props_key",
+        "properties",
+        F.concat(F.lit("_:"), sanitize_id_col(F.col("node_id"))).alias("self_bn"),
+        F.lit(None).cast("string").alias("src_bn"),
+        F.lit(None).cast("string").alias("dst_bn"),
+        "multi_valued",
+    )
+    e = common(edges, "edge", F.array(F.col("label"))).select(
+        F.col("edge_id").alias("element_id"),
+        "kind",
+        "labels_key",
+        "props_key",
+        "properties",
+        F.concat(F.lit("_:"), sanitize_id_col(F.col("edge_id"))).alias("self_bn"),
+        F.concat(F.lit("_:"), sanitize_id_col(F.col("src_id"))).alias("src_bn"),
+        F.concat(F.lit("_:"), sanitize_id_col(F.col("dst_id"))).alias("dst_bn"),
+        "multi_valued",
+    )
+    return n.unionByName(e)
+
+
+def _substitute(col: Column, compiled: CompiledCatalog) -> Column:
+    """Chain of replace() calls instantiating every placeholder."""
+    col = F.replace(col, F.lit(PH_SELF), F.col("self_bn"))
+    col = F.replace(col, F.lit(PH_SRC), F.coalesce(F.col("src_bn"), F.lit("")))
+    col = F.replace(col, F.lit(PH_DST), F.coalesce(F.col("dst_bn"), F.lit("")))
+    for key in compiled.value_keys:
+        col = F.replace(
+            col,
+            F.lit(_ph_val(key)),
+            F.coalesce(
+                F.element_at(F.element_at(F.col("properties"), key), 1),
+                F.lit(_ph_val(key)),  # leave unresolved if absent (can't match)
+            ),
+        )
+    for name in compiled.bnode_names:
+        # Fresh blank node per (element, template bnode): reference
+        # allocates an anonymous bnode per pair (PrscContext.ts:205-212).
+        col = F.replace(
+            col,
+            F.lit(_ph_bn(name)),
+            F.concat(
+                F.lit(f"_:tb{name}_r"),
+                F.col("rule_idx").cast("string"),
+                F.lit("_"),
+                sanitize_id_col(F.col("element_id")),
+            ),
+        )
+    return col
+
+
+def apply_prsc(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    catalog: PRSCCatalog,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply a PRSC context. Returns (triples, quarantine).
+
+    triples:    (s string, p string, o string) — canonical term strings,
+                set semantics (deduplicated).
+    quarantine: (element_id, kind, labels_key, props_key, reason) —
+                elements the reference would throw on.
+    """
+    compiled = CompiledCatalog.from_catalog(catalog)
+    rules_df = spark.createDataFrame(
+        compiled.rows,
+        "rule_idx INT, kind STRING, labels_key STRING, props_key STRING, "
+        "template ARRAY<ARRAY<STRING>>",
+    )
+
+    elements = elements_df(nodes, edges)
+    joined = elements.join(
+        F.broadcast(rules_df), on=["kind", "labels_key", "props_key"], how="left"
+    )
+
+    quarantine = joined.filter(
+        F.col("rule_idx").isNull() | F.col("multi_valued")
+    ).select(
+        "element_id",
+        "kind",
+        "labels_key",
+        "props_key",
+        F.when(F.col("rule_idx").isNull(), F.lit("no_rule_matches"))
+        .otherwise(F.lit("multi_valued_property"))
+        .alias("reason"),
+    )
+
+    matched = joined.filter(F.col("rule_idx").isNotNull() & ~F.col("multi_valued"))
+    exploded = matched.select(
+        "element_id",
+        "rule_idx",
+        "self_bn",
+        "src_bn",
+        "dst_bn",
+        "properties",
+        F.explode("template").alias("pattern"),
+    )
+    triples = exploded.select(
+        _substitute(F.element_at("pattern", 1), compiled).alias("s"),
+        _substitute(F.element_at("pattern", 2), compiled).alias("p"),
+        _substitute(F.element_at("pattern", 3), compiled).alias("o"),
+    ).dropDuplicates(["s", "p", "o"])
+
+    return triples, quarantine
