@@ -1,0 +1,236 @@
+"""PREC-0 expansion: the lossless RDF transcription of a property graph.
+
+Reproduces the quad-level output of the reference's RDFGraphBuilder
+(/root/reference/src/prec/graph-builder.ts:115-345; SHACL shape in
+docs/prec0shape.ttl):
+
+* node  -> (_:n, rdf:type, pgo:Node) + per-label typing quads
+* edge  -> RDF reification: rdf:subject / rdf:predicate / rdf:object
+  (reification, not RDF-star, so parallel same-label edges stay
+  distinct — comment at graph-builder.ts:233-237)
+* property k=v -> label-suffixed predicate IRI
+  vocab/{node|edge}/property/<k>/<sorted-labels-joined-by-dash>
+  pointing at a property-value blank node with rdf:value
+* array values -> rdf:first/rdf:rest chains
+
+Everything is explode + string building + union — no Python, no UDFs.
+Blank node ids are deterministic (derived from element ids), which is
+correct up to blank-node isomorphism (the reference's own equality
+criterion, test/utility.ts:35-59).
+
+NOTE (SURVEY.md §7): the PRSC hot path intentionally SKIPS this
+encoding and reads the relational nodes/edges directly; PREC-0 exists
+for parity, for PREC-0 reversion, and as an exchange format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .pg.projection import sanitize_id_col
+from .rdf.terms import PGO_NS, PREC_NS, RDF_NS, RDFS_NS
+
+DEFAULT_VOCAB = "http://www.example.org/vocab/"
+
+RDF_TYPE = f"<{RDF_NS}type>"
+RDFS_LABEL = f"<{RDFS_NS}label>"
+RDFS_SUBCLASSOF = f"<{RDFS_NS}subClassOf>"
+PGO_NODE = f"<{PGO_NS}Node>"
+PGO_EDGE = f"<{PGO_NS}Edge>"
+
+#: regex matching one term-encoded literal inside a list-encoded value
+_LITERAL_RE = r'"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>)?'
+
+
+def _bn(col: Column) -> Column:
+    return F.concat(F.lit("_:"), sanitize_id_col(col))
+
+
+def _iri(*parts: Column | str) -> Column:
+    cols = [F.lit(p) if isinstance(p, str) else p for p in parts]
+    return F.concat(F.lit("<"), *cols, F.lit(">"))
+
+
+def _lit_str(col: Column) -> Column:
+    from .pg.projection import lit_term_col
+
+    return lit_term_col(col)
+
+
+def _triples(df: DataFrame, s: Column, p: Column, o: Column) -> DataFrame:
+    return df.select(s.alias("s"), p.alias("p"), o.alias("o"))
+
+
+def prec0_quads(
+    nodes: DataFrame, edges: DataFrame, vocab: str = DEFAULT_VOCAB
+) -> DataFrame:
+    """PG -> PREC-0 triples (s, p, o term strings, deduplicated)."""
+    parts: list[DataFrame] = []
+
+    prec = f"<{PREC_NS}%s>"
+
+    # ---- nodes ------------------------------------------------------
+    n = nodes
+    parts.append(_triples(n, _bn(F.col("node_id")), F.lit(RDF_TYPE), F.lit(PGO_NODE)))
+
+    nlab = n.select(F.col("node_id"), F.explode("labels").alias("label"))
+    label_iri = _iri(vocab + "node/label/", F.col("label"))
+    parts.append(_triples(nlab, _bn(F.col("node_id")), F.lit(RDF_TYPE), label_iri))
+    parts.append(_triples(nlab, label_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
+    parts.append(_triples(nlab, label_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedNodeLabel")))
+    parts.append(
+        _triples(
+            nlab.limit(1),
+            F.lit(prec % "CreatedNodeLabel"),
+            F.lit(RDFS_SUBCLASSOF),
+            F.lit(prec % "CreatedVocabulary"),
+        )
+    )
+
+    parts.extend(
+        _property_quads(
+            n.select(
+                F.col("node_id").alias("holder_id"),
+                F.col("labels"),
+                F.col("properties"),
+            ),
+            vocab + "node/property/",
+            prec,
+        )
+    )
+
+    # ---- edges ------------------------------------------------------
+    e = edges
+    edge_bn = _bn(F.col("edge_id"))
+    elabel_iri = _iri(vocab + "edge/label/", F.col("label"))
+    parts.append(_triples(e, edge_bn, F.lit(RDF_TYPE), F.lit(PGO_EDGE)))
+    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}subject>"), _bn(F.col("src_id"))))
+    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}object>"), _bn(F.col("dst_id"))))
+    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}predicate>"), elabel_iri))
+    parts.append(_triples(e, elabel_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
+    parts.append(_triples(e, elabel_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedEdgeLabel")))
+    parts.append(
+        _triples(
+            e.limit(1),
+            F.lit(prec % "CreatedEdgeLabel"),
+            F.lit(RDFS_SUBCLASSOF),
+            F.lit(prec % "CreatedVocabulary"),
+        )
+    )
+    parts.extend(
+        _property_quads(
+            e.select(
+                F.col("edge_id").alias("holder_id"),
+                F.array(F.col("label")).alias("labels"),
+                F.col("properties"),
+            ),
+            vocab + "edge/property/",
+            prec,
+        )
+    )
+
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out.dropDuplicates(["s", "p", "o"])
+
+
+def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFrame]:
+    """Property quads for one holder kind.
+
+    holders: (holder_id, labels, properties map<string,array<string>>).
+    Multi-element arrays = multi-valued properties (one value node
+    each); "( ... )" list-encoded elements = array values (rdf list).
+    """
+    props = (
+        holders.select(
+            "holder_id",
+            F.array_join(F.sort_array("labels"), "-").alias("label_tag"),
+            F.explode("properties").alias("key", "values"),
+        )
+        .select(
+            "holder_id",
+            "key",
+            F.concat(F.lit(prop_ns), F.col("key"), F.lit("/"), F.col("label_tag")).alias(
+                "prop_iri_body"
+            ),
+            F.posexplode("values").alias("value_pos", "value"),
+        )
+        .withColumn(
+            "value_bn",
+            F.concat(
+                F.lit("_:propval_"),
+                sanitize_id_col(F.col("holder_id")),
+                F.lit("_"),
+                F.col("key"),
+                F.lit("_"),
+                F.col("value_pos").cast("string"),
+            ),
+        )
+        .withColumn("is_list", F.col("value").startswith("("))
+    )
+
+    prop_iri = _iri(F.col("prop_iri_body"))
+    out = [
+        _triples(props, _bn(F.col("holder_id")), prop_iri, F.col("value_bn")),
+        _triples(props, F.col("value_bn"), F.lit(RDF_TYPE), F.lit(prec % "PropertyKeyValue")),
+        _triples(props, prop_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
+        _triples(props, prop_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
+        _triples(props, prop_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
+        _triples(
+            props.limit(1),
+            F.lit(prec % "CreatedPropertyKey"),
+            F.lit(RDFS_SUBCLASSOF),
+            F.lit(prec % "CreatedVocabulary"),
+        ),
+        # scalar values: (_:pv, rdf:value, literal)
+        _triples(
+            props.filter(~F.col("is_list")),
+            F.col("value_bn"),
+            F.lit(f"<{RDF_NS}value>"),
+            F.col("value"),
+        ),
+    ]
+
+    # list values: (_:pv, rdf:value, _:listN1) + first/rest chain
+    lists = (
+        props.filter(F.col("is_list"))
+        .withColumn("items", F.regexp_extract_all("value", F.lit(_LITERAL_RE), F.lit(0)))
+        .withColumn("n_items", F.size("items"))
+    )
+    list_bn = lambda pos: F.concat(  # noqa: E731
+        F.lit("_:list_"),
+        sanitize_id_col(F.col("value_bn")),
+        F.lit("_"),
+        pos.cast("string"),
+    )
+    items = lists.select(
+        "value_bn", "n_items", F.posexplode("items").alias("pos", "item")
+    )
+    out.extend(
+        [
+            _triples(
+                lists.filter(F.col("n_items") > 0),
+                F.col("value_bn"),
+                F.lit(f"<{RDF_NS}value>"),
+                list_bn(F.lit(0)),
+            ),
+            _triples(
+                lists.filter(F.col("n_items") == 0),
+                F.col("value_bn"),
+                F.lit(f"<{RDF_NS}value>"),
+                F.lit(f"<{RDF_NS}nil>"),
+            ),
+            _triples(items, list_bn(F.col("pos")), F.lit(f"<{RDF_NS}first>"), F.col("item")),
+            _triples(
+                items,
+                list_bn(F.col("pos")),
+                F.lit(f"<{RDF_NS}rest>"),
+                F.when(
+                    F.col("pos") == F.col("n_items") - 1, F.lit(f"<{RDF_NS}nil>")
+                ).otherwise(list_bn(F.col("pos") + 1)),
+            ),
+        ]
+    )
+    return out
