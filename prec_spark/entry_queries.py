@@ -1,0 +1,219 @@
+"""Query + oracle registry backing __spark_entry__.py.
+
+Each entry pairs a Spark implementation (DataFrame API) with an ANSI
+SQL oracle DuckDB can run on the same parquet views. Column names are
+aligned on both sides (driver hashes values after sorting columns by
+name). Flattened/serialized output shapes (strings, ints) are used so
+cross-engine value hashing is robust.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .flagship import flagship_oracle_sql, flagship_triples
+from .pg.projection import pg_edges, pg_nodes
+from .prec0 import prec0_quads
+from .transcripts import transcripts_df, transcripts_oracle_sql
+
+
+# ---------------------------------------------------------------- helpers
+def _t_cte() -> str:
+    return f"WITH t AS ({transcripts_oracle_sql()})"
+
+
+def _pg_nodes_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return pg_nodes(t).select(
+        "node_id",
+        F.array_join("labels", "|").alias("labels_key"),
+        F.array_join(F.sort_array(F.map_keys("properties")), "|").alias("props_key"),
+    )
+
+
+def _pg_nodes_oracle() -> str:
+    return f"""
+{_t_cte()}
+SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS node_id,
+       'Turn|' || role AS labels_key,
+       CASE WHEN tool IS NOT NULL THEN 'text|tool' ELSE 'text' END AS props_key
+FROM t
+UNION ALL
+SELECT DISTINCT 'conv:' || conv_id, 'Conversation', 'id' FROM t
+UNION ALL
+SELECT DISTINCT 'tool:' || tool, 'Tool', 'name' FROM t WHERE tool IS NOT NULL
+"""
+
+
+def _pg_edges_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return pg_edges(t).select("edge_id", "src_id", "dst_id", "label")
+
+
+def _pg_edges_oracle() -> str:
+    turn = "'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    return f"""
+{_t_cte()}, tm AS (
+  SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx FROM t
+)
+SELECT 'edge:next:' || conv_id || ':' || CAST(turn_idx AS VARCHAR) AS edge_id,
+       {turn} AS src_id,
+       'turn:' || conv_id || ':' || CAST(turn_idx + 1 AS VARCHAR) AS dst_id,
+       'NEXT' AS label
+FROM tm WHERE turn_idx < max_turn_idx
+UNION ALL
+SELECT 'edge:in:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       {turn}, 'conv:' || conv_id, 'IN'
+FROM tm
+UNION ALL
+SELECT 'edge:uses:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
+       {turn}, 'tool:' || tool, 'USES'
+FROM tm WHERE tool IS NOT NULL
+"""
+
+
+def _prec0_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_df(spark, sf_dir)
+    return prec0_quads(pg_nodes(t), pg_edges(t))
+
+
+def _prec0_oracle() -> str:
+    """Full PREC-0 expansion of the transcript PG in ANSI SQL."""
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    pgo = "http://ii.uwb.edu.pl/pgo#"
+    prec = "http://bruy.at/prec#"
+    vocab = "http://www.example.org/vocab/"
+
+    a = f"'<{rdf}type>'"
+    rlabel = f"'<{rdfs}label>'"
+    sub = f"'<{rdfs}subClassOf>'"
+
+    turn_bn = "'_:turn_' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    conv_bn = "'_:conv_' || conv_id"
+    tool_bn = "'_:tool_' || tool"
+
+    # label tag = sorted labels joined by '-'; turn labels are
+    # sort(['Turn', role]) = 'Turn-<role>' ('T' < lowercase).
+    turn_tag = "'Turn-' || role"
+
+    def prop_iri(kind: str, key: str, tag_sql: str) -> str:
+        return f"'<{vocab}{kind}/property/{key}/' || {tag_sql} || '>'"
+
+    def node_label_iri(label_sql: str) -> str:
+        return f"'<{vocab}node/label/' || {label_sql} || '>'"
+
+    def edge_label_iri(label: str) -> str:
+        return f"'<{vocab}edge/label/{label}>'"
+
+    # sanitized holder ids (':' -> '_'), used both for bnode names and
+    # property-value bnode names
+    turn_sid = "'turn_' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    conv_sid = "'conv_' || conv_id"
+    tool_sid = "'tool_' || tool"
+
+    lit = "'\"' || {} || '\"'"
+
+    branches = []
+
+    def add(s, p, o, frm="t", where=""):
+        w = f" WHERE {where}" if where else ""
+        branches.append(f"SELECT {s} AS s, {p} AS p, {o} AS o FROM {frm}{w}")
+
+    # turn nodes
+    add(turn_bn, a, f"'<{pgo}Node>'")
+    add(turn_bn, a, node_label_iri("'Turn'"))
+    add(turn_bn, a, node_label_iri("role"))
+    # label meta (DISTINCT via outer dedup)
+    add(node_label_iri("'Turn'"), rlabel, "'\"Turn\"'")
+    add(node_label_iri("role"), rlabel, lit.format("role"))
+    add(node_label_iri("'Turn'"), a, f"'<{prec}CreatedNodeLabel>'")
+    add(node_label_iri("role"), a, f"'<{prec}CreatedNodeLabel>'")
+    # conversation nodes
+    add(conv_bn, a, f"'<{pgo}Node>'")
+    add(conv_bn, a, node_label_iri("'Conversation'"))
+    add(node_label_iri("'Conversation'"), rlabel, "'\"Conversation\"'")
+    add(node_label_iri("'Conversation'"), a, f"'<{prec}CreatedNodeLabel>'")
+    # tool nodes
+    add(tool_bn, a, f"'<{pgo}Node>'", where="tool IS NOT NULL")
+    add(tool_bn, a, node_label_iri("'Tool'"), where="tool IS NOT NULL")
+    add(node_label_iri("'Tool'"), rlabel, "'\"Tool\"'", where="tool IS NOT NULL")
+    add(node_label_iri("'Tool'"), a, f"'<{prec}CreatedNodeLabel>'", where="tool IS NOT NULL")
+    add(f"'<{prec}CreatedNodeLabel>'", sub, f"'<{prec}CreatedVocabulary>'")
+
+    # ---- node properties -------------------------------------------
+    esc_text = "replace(replace(text, '\\', '\\\\'), '\"', '\\\"')"
+
+    def prop_quads(holder_sid, kind, key, tag_sql, value_sql, where=""):
+        holder_bn = f"'_:' || {holder_sid}"
+        piri = prop_iri(kind, key, tag_sql)
+        pv = f"'_:propval_' || {holder_sid} || '_{key}_0'"
+        add(holder_bn, piri, pv, where=where)
+        add(pv, a, f"'<{prec}PropertyKeyValue>'", where=where)
+        add(pv, f"'<{rdf}value>'", value_sql, where=where)
+        add(piri, rlabel, f"'\"{key}\"'", where=where)
+        add(piri, a, f"'<{prec}PropertyKey>'", where=where)
+        add(piri, a, f"'<{prec}CreatedPropertyKey>'", where=where)
+
+    # turn: text property (tag = Turn-<role>)
+    prop_quads(turn_sid, "node", "text", turn_tag, f"'\"' || {esc_text} || '\"'")
+    # turn: tool property (only tool turns)
+    prop_quads(turn_sid, "node", "tool", turn_tag, lit.format("tool"), where="tool IS NOT NULL")
+    # conversation: id property (conv nodes repeat per turn; outer DISTINCT dedups)
+    prop_quads(conv_sid, "node", "id", "'Conversation'", lit.format("conv_id"))
+    # tool: name property
+    prop_quads(tool_sid, "node", "name", "'Tool'", lit.format("tool"), where="tool IS NOT NULL")
+    add(f"'<{prec}CreatedPropertyKey>'", sub, f"'<{prec}CreatedVocabulary>'")
+
+    # ---- edges ------------------------------------------------------
+    def edge_quads(edge_bn, src_bn, dst_bn, label, where=""):
+        iri = edge_label_iri(label)
+        add(edge_bn, a, f"'<{pgo}Edge>'", frm="tm", where=where)
+        add(edge_bn, f"'<{rdf}subject>'", src_bn, frm="tm", where=where)
+        add(edge_bn, f"'<{rdf}object>'", dst_bn, frm="tm", where=where)
+        add(edge_bn, f"'<{rdf}predicate>'", iri, frm="tm", where=where)
+        add(iri, rlabel, f"'\"{label}\"'", frm="tm", where=where)
+        add(iri, a, f"'<{prec}CreatedEdgeLabel>'", frm="tm", where=where)
+
+    next_bn = "'_:edge_next_' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    in_bn = "'_:edge_in_' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    uses_bn = "'_:edge_uses_' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    next_dst = "'_:turn_' || conv_id || '_' || CAST(turn_idx + 1 AS VARCHAR)"
+    edge_quads(next_bn, turn_bn, next_dst, "NEXT", where="turn_idx < max_turn_idx")
+    edge_quads(in_bn, turn_bn, conv_bn, "IN")
+    edge_quads(uses_bn, turn_bn, tool_bn, "USES", where="tool IS NOT NULL")
+    add(f"'<{prec}CreatedEdgeLabel>'", sub, f"'<{prec}CreatedVocabulary>'")
+
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+{_t_cte()}, tm AS (
+  SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx FROM t
+)
+SELECT DISTINCT s, p, o FROM (
+{body}
+) u
+"""
+
+
+# ---------------------------------------------------------------- registry
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "transcripts": transcripts_df,
+        "pg_nodes": _pg_nodes_flat,
+        "pg_edges": _pg_edges_flat,
+        "prec0_triples": _prec0_triples,
+        "prsc_transcript_triples": flagship_triples,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "transcripts": transcripts_oracle_sql(),
+        "pg_nodes": _pg_nodes_oracle(),
+        "pg_edges": _pg_edges_oracle(),
+        "prec0_triples": _prec0_oracle(),
+        "prsc_transcript_triples": flagship_oracle_sql(),
+    }
