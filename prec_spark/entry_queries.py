@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 from .flagship import flagship_oracle_sql, flagship_triples
 from .pg.projection import pg_edges, pg_nodes
 from .prec0 import prec0_quads
+from .text.mentions import (
+    canonical_entities,
+    canonical_entities_oracle_sql,
+    entity_links,
+    entity_links_oracle_sql,
+    entity_triples,
+    entity_triples_oracle_sql,
+    mentions_df,
+    mentions_oracle_sql,
+)
 from .transcripts import transcripts_df, transcripts_oracle_sql
 
 
@@ -198,6 +208,26 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full extract -> link -> canonicalize -> materialize output:
+    PRSC context triples + mention/entity triples."""
+    return (
+        flagship_triples(spark, sf_dir)
+        .unionByName(entity_triples(spark, sf_dir))
+        .dropDuplicates(["s", "p", "o"])
+    )
+
+
+def _kg_triples_oracle() -> str:
+    return f"""
+SELECT DISTINCT s, p, o FROM (
+  ({flagship_oracle_sql()})
+  UNION ALL
+  ({entity_triples_oracle_sql()})
+) u
+"""
+
+
 # ---------------------------------------------------------------- registry
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -206,6 +236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_edges": _pg_edges_flat,
         "prec0_triples": _prec0_triples,
         "prsc_transcript_triples": flagship_triples,
+        "mentions": mentions_df,
+        "entity_links": entity_links,
+        "canonical_entities": canonical_entities,
+        "entity_triples": entity_triples,
+        "kg_triples": _kg_triples,
     }
 
 
@@ -216,4 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "pg_edges": _pg_edges_oracle(),
         "prec0_triples": _prec0_oracle(),
         "prsc_transcript_triples": flagship_oracle_sql(),
+        "mentions": mentions_oracle_sql(),
+        "entity_links": entity_links_oracle_sql(),
+        "canonical_entities": canonical_entities_oracle_sql(),
+        "entity_triples": entity_triples_oracle_sql(),
+        "kg_triples": _kg_triples_oracle(),
     }

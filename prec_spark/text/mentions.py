@@ -1,0 +1,204 @@
+"""Mention detection + entity linking + canonicalization.
+
+These stages have no counterpart in the reference (its "extraction" is
+the PG API scan, SURVEY.md §2.7) — they are the transcript-domain
+stages required by BASELINE.json `north_star`:
+
+* mention detection — Arrow-batched pandas UDF (vectorized
+  `Series.str.findall` over a compiled dictionary regex); never
+  per-row Python
+* entity linking — broadcast join of mentions against the (tiny)
+  entity dictionary + a deterministic surface-similarity score
+* canonicalization — salted two-phase groupBy merging co-referent
+  mentions into canonical entities (hot entities skew: one entity can
+  dominate mentions the way one conversation dominates turns)
+
+Every stage has an exact ANSI-SQL oracle because mentions derive
+deterministically from the synthetic transcript text.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..transcripts import ENTITIES, transcripts_df, transcripts_oracle_sql
+
+ENTITY_RE = re.compile(r"\b(" + "|".join(map(re.escape, ENTITIES)) + r")\b")
+
+EX = "http://example.org/transcripts/"
+
+#: salt buckets for the canonicalization groupBy (hot-key mitigation)
+N_SALTS = 16
+
+
+def find_mentions_udf():
+    """All dictionary-entity occurrences per text, in order.
+
+    Built lazily — pandas_udf needs an active SparkSession to resolve
+    its return type, so decoration can't happen at import time.
+    """
+
+    @pandas_udf("array<string>")
+    def _find(texts: pd.Series) -> pd.Series:
+        return texts.str.findall(ENTITY_RE)
+
+    return _find
+
+
+def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, mention) — one row per occurrence."""
+    t = transcripts_df(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(find_mentions_udf()(F.col("text"))).alias("mention"),
+    )
+
+
+def mentions_oracle_sql() -> str:
+    # text := ent1 || ' told ' || ent2 || ' about part N in line M.'
+    # so the occurrence list is exactly [ent1, ent2].
+    return f"""
+WITH t AS ({transcripts_oracle_sql()}),
+split AS (
+  SELECT conv_id, turn_idx,
+         trim(split_part(text, ' told ', 1)) AS ent1,
+         trim(split_part(split_part(text, ' told ', 2), ' about part ', 1)) AS ent2
+  FROM t
+)
+SELECT conv_id, turn_idx, ent1 AS mention FROM split
+UNION ALL
+SELECT conv_id, turn_idx, ent2 AS mention FROM split
+"""
+
+
+def entities_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, name) for i, name in enumerate(ENTITIES)],
+        "entity_id INT, entity_name STRING",
+    )
+
+
+def entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, mention, entity_id, score) — broadcast
+    dictionary join; score = normalized surface similarity."""
+    m = mentions_df(spark, sf_dir)
+    e = entities_df(spark)
+    joined = m.join(F.broadcast(e), m["mention"] == e["entity_name"], "inner")
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "mention",
+        "entity_id",
+        (
+            F.length("mention")
+            / F.greatest(F.length("mention"), F.length("entity_name"))
+        ).cast("double").alias("score"),
+    )
+
+
+def entity_links_oracle_sql() -> str:
+    cases = " ".join(f"WHEN '{n}' THEN {i}" for i, n in enumerate(ENTITIES))
+    return f"""
+WITH m AS ({mentions_oracle_sql()})
+SELECT conv_id, turn_idx, mention,
+       CASE mention {cases} END AS entity_id,
+       CAST(1.0 AS DOUBLE) AS score
+FROM m
+"""
+
+
+def canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge co-referent mentions into canonical entities.
+
+    Salted two-phase aggregation: phase 1 groups by (entity_id, salt)
+    — the hot entity's mentions spread over N_SALTS reducers — phase 2
+    merges the partials. Deterministic output; at 100 TB the phase-1
+    combine happens map-side.
+    """
+    links = entity_links(spark, sf_dir)
+    salted = links.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("entity_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.countDistinct("conv_id").alias("pc_upper"),  # upper bound per salt
+    )
+    merged = partial.groupBy("entity_id").agg(F.sum("pn").alias("n_mentions"))
+    # exact distinct-conversation count needs its own (cheap) pass
+    convs = links.groupBy("entity_id").agg(
+        F.countDistinct("conv_id").alias("n_conversations")
+    )
+    e = entities_df(spark)
+    return (
+        merged.join(convs, "entity_id")
+        .join(F.broadcast(e), "entity_id")
+        .select(
+            "entity_id",
+            F.col("entity_name").alias("canonical_name"),
+            "n_mentions",
+            "n_conversations",
+        )
+    )
+
+
+def canonical_entities_oracle_sql() -> str:
+    cases = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(ENTITIES))
+    return f"""
+WITH l AS ({entity_links_oracle_sql()})
+SELECT entity_id,
+       CASE entity_id {cases} END AS canonical_name,
+       count(*) AS n_mentions,
+       count(DISTINCT conv_id) AS n_conversations
+FROM l GROUP BY entity_id
+"""
+
+
+def entity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize mention/entity triples (joins the flagship output)."""
+    links = entity_links(spark, sf_dir)
+    turn_bn = F.concat(
+        F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col("turn_idx").cast("string")
+    )
+    ent_bn = F.concat(F.lit("_:entity_"), F.col("mention"))
+    a = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    mentions_t = links.select(
+        turn_bn.alias("s"),
+        F.lit(f"<{EX}mentions>").alias("p"),
+        ent_bn.alias("o"),
+    )
+    typing_t = links.select(
+        ent_bn.alias("s"), F.lit(a).alias("p"), F.lit(f"<{EX}Entity>").alias("o")
+    )
+    name_t = links.select(
+        ent_bn.alias("s"),
+        F.lit(f"<{EX}name>").alias("p"),
+        F.concat(F.lit('"'), F.col("mention"), F.lit('"')).alias("o"),
+    )
+    return (
+        mentions_t.unionByName(typing_t)
+        .unionByName(name_t)
+        .dropDuplicates(["s", "p", "o"])
+    )
+
+
+def entity_triples_oracle_sql() -> str:
+    a = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    return f"""
+WITH l AS ({entity_links_oracle_sql()})
+SELECT DISTINCT s, p, o FROM (
+  SELECT '_:turn_' || conv_id || '_' || CAST(turn_idx AS VARCHAR) AS s,
+         '<{EX}mentions>' AS p,
+         '_:entity_' || mention AS o
+  FROM l
+  UNION ALL
+  SELECT DISTINCT '_:entity_' || mention, '{a}', '<{EX}Entity>' FROM l
+  UNION ALL
+  SELECT DISTINCT '_:entity_' || mention, '<{EX}name>', '"' || mention || '"' FROM l
+) u
+"""
