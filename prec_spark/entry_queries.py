@@ -28,6 +28,35 @@ from .text.mentions import (
     mentions_oracle_sql,
 )
 from .transcripts import transcripts_df, transcripts_oracle_sql
+from .text.analysis import (
+    doc_fingerprint,
+    doc_fingerprint_oracle_sql,
+    lang_id,
+    lang_id_oracle_sql,
+    text_stats,
+    text_stats_oracle_sql,
+    token_counts,
+    token_counts_oracle_sql,
+)
+from .dedup import (
+    dedup_exact,
+    dedup_exact_oracle_sql,
+    dedup_minhash_pairs,
+    dedup_minhash_oracle_sql,
+    dedup_ngram_jaccard,
+    dedup_ngram_oracle_sql,
+    dedup_simhash_groups,
+    dedup_simhash_oracle_sql,
+    embedding_neardup,
+    embedding_neardup_oracle_sql,
+)
+from .ann import (
+    ann_bruteforce,
+    ann_bruteforce_oracle_sql,
+    ann_ivf,
+    ann_ivf_oracle_sql,
+)
+from .multimodal import binary_features, binary_features_oracle_sql
 
 
 # ---------------------------------------------------------------- helpers
@@ -241,6 +270,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_entities": canonical_entities,
         "entity_triples": entity_triples,
         "kg_triples": _kg_triples,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "token_counts": token_counts,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash_groups,
+        "embedding_neardup": embedding_neardup,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_ivf": ann_ivf,
+        "multimodal_features": binary_features,
     }
 
 
@@ -256,4 +297,16 @@ def oracle_sql() -> dict[str, str]:
         "canonical_entities": canonical_entities_oracle_sql(),
         "entity_triples": entity_triples_oracle_sql(),
         "kg_triples": _kg_triples_oracle(),
+        "text_stats": text_stats_oracle_sql(),
+        "lang_id": lang_id_oracle_sql(),
+        "doc_fingerprint": doc_fingerprint_oracle_sql(),
+        "token_counts": token_counts_oracle_sql(),
+        "dedup_exact": dedup_exact_oracle_sql(),
+        "dedup_minhash": dedup_minhash_oracle_sql(),
+        "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),
+        "dedup_simhash": dedup_simhash_oracle_sql(),
+        "embedding_neardup": embedding_neardup_oracle_sql(),
+        "ann_bruteforce": ann_bruteforce_oracle_sql(),
+        "ann_ivf": ann_ivf_oracle_sql(),
+        "multimodal_features": binary_features_oracle_sql(),
     }

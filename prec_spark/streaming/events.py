@@ -1,0 +1,65 @@
+"""Streaming ingestion of events: watermarked tumbling-window rollup.
+
+The reference is strictly batch (SURVEY.md §2.9); our engine adds the
+Structured Streaming path a production transcript pipeline needs for
+late-arriving events: file-source readStream -> event-time window +
+watermark -> aggregation. The batch twin of the same plan is the
+correctness oracle (stream/batch equivalence).
+
+At scale the same query runs over a Kafka/Iceberg-CDC source with the
+identical plan; only the source/sink change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _windowed(df: DataFrame) -> DataFrame:
+    return (
+        df.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _windowed(events)
+
+
+def run_windowed_counts_stream(
+    spark: SparkSession, sf_dir: str, name: str = "events_windowed"
+) -> DataFrame:
+    """Run the streaming twin to completion (availableNow) and return
+    the result from the in-memory sink."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    query = (
+        _windowed(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table(name)
