@@ -239,11 +239,14 @@ SELECT DISTINCT s, p, o FROM (
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full extract -> link -> canonicalize -> materialize output:
-    PRSC context triples + mention/entity triples."""
-    return (
-        flagship_triples(spark, sf_dir)
-        .unionByName(entity_triples(spark, sf_dir))
-        .dropDuplicates(["s", "p", "o"])
+    PRSC context triples + mention/entity triples. One cached
+    transcripts DF feeds every stage."""
+    t = transcripts_df(spark, sf_dir).cache()
+    # the two branches are each internally deduplicated and are
+    # disjoint by predicate namespace — no outer dropDuplicates needed
+    # (saves a full-output shuffle)
+    return flagship_triples(spark, sf_dir, transcripts=t).unionByName(
+        entity_triples(spark, sf_dir, transcripts=t)
     )
 
 

@@ -79,9 +79,16 @@ def flagship_catalog() -> PRSCCatalog:
     return PRSCCatalog.from_turtle(TRANSCRIPT_CONTEXT)
 
 
-def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transcripts -> PG -> PRSC triples (s, p, o)."""
-    t = transcripts_df(spark, sf_dir)
+def flagship_triples(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
+    """transcripts -> PG -> PRSC triples (s, p, o).
+
+    The transcripts DF is cached: the PG projection reads it once per
+    node/edge kind (6 narrow branches), and recomputing the row_number
+    window per branch dominates the plan otherwise (2x wall measured
+    at sf0.1)."""
+    t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir).cache()
     nodes, edges = pg_nodes(t), pg_edges(t)
     triples, _quarantine = apply_prsc(spark, nodes, edges, flagship_catalog())
     return triples

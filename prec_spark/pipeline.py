@@ -46,14 +46,15 @@ def run_pipeline(
     transcripts = pipe.stage("transcripts", lambda: transcripts_df(spark, sf_dir))
     nodes = pipe.stage("pg_nodes", lambda: pg_nodes(transcripts))
     edges = pipe.stage("pg_edges", lambda: pg_edges(transcripts))
-    links = pipe.stage("entity_links", lambda: entity_links(spark, sf_dir))
-    pipe.stage("canonical_entities", lambda: canonical_entities(spark, sf_dir))
+    links = pipe.stage("entity_links", lambda: entity_links(spark, sf_dir, transcripts))
+    pipe.stage("canonical_entities", lambda: canonical_entities(spark, sf_dir, transcripts))
 
     def build_triples():
         prsc_triples, quarantine = apply_prsc(spark, nodes, edges, catalog)
         quarantine.write.mode("overwrite").parquet(os.path.join(workdir, "_quarantine"))
-        ment_triples = entity_triples(spark, sf_dir)
-        return prsc_triples.unionByName(ment_triples).dropDuplicates(["s", "p", "o"])
+        ment_triples = entity_triples(spark, sf_dir, transcripts)
+        # branches are internally dedup'd and disjoint by subject/predicate
+        return prsc_triples.unionByName(ment_triples)
 
     triples = pipe.stage("kg_triples", build_triples)
     return triples, pipe

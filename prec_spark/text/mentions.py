@@ -50,9 +50,11 @@ def find_mentions_udf():
     return _find
 
 
-def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mentions_df(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
     """(conv_id, turn_idx, mention) — one row per occurrence."""
-    t = transcripts_df(spark, sf_dir)
+    t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir)
     return t.select(
         "conv_id",
         "turn_idx",
@@ -84,10 +86,12 @@ def entities_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+def entity_links(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
     """(conv_id, turn_idx, mention, entity_id, score) — broadcast
     dictionary join; score = normalized surface similarity."""
-    m = mentions_df(spark, sf_dir)
+    m = mentions_df(spark, sf_dir, transcripts)
     e = entities_df(spark)
     joined = m.join(F.broadcast(e), m["mention"] == e["entity_name"], "inner")
     return joined.select(
@@ -113,7 +117,9 @@ FROM m
 """
 
 
-def canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def canonical_entities(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
     """Merge co-referent mentions into canonical entities.
 
     Salted two-phase aggregation: phase 1 groups by (entity_id, salt)
@@ -121,7 +127,7 @@ def canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges the partials. Deterministic output; at 100 TB the phase-1
     combine happens map-side.
     """
-    links = entity_links(spark, sf_dir)
+    links = entity_links(spark, sf_dir, transcripts)
     salted = links.withColumn(
         "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(N_SALTS))
     )
@@ -159,30 +165,39 @@ FROM l GROUP BY entity_id
 """
 
 
-def entity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize mention/entity triples (joins the flagship output)."""
-    links = entity_links(spark, sf_dir)
+def entity_triples(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
+    """Materialize mention/entity triples.
+
+    Single pass: each link row explodes into its 3 triples (mention
+    edge, entity typing, entity name) — the mention-detection UDF runs
+    once, not once per triple kind."""
+    links = entity_links(spark, sf_dir, transcripts)
     turn_bn = F.concat(
         F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col("turn_idx").cast("string")
     )
     ent_bn = F.concat(F.lit("_:entity_"), F.col("mention"))
     a = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
-    mentions_t = links.select(
-        turn_bn.alias("s"),
-        F.lit(f"<{EX}mentions>").alias("p"),
-        ent_bn.alias("o"),
-    )
-    typing_t = links.select(
-        ent_bn.alias("s"), F.lit(a).alias("p"), F.lit(f"<{EX}Entity>").alias("o")
-    )
-    name_t = links.select(
-        ent_bn.alias("s"),
-        F.lit(f"<{EX}name>").alias("p"),
-        F.concat(F.lit('"'), F.col("mention"), F.lit('"')).alias("o"),
-    )
+
+    def t(s, p, o):
+        return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
     return (
-        mentions_t.unionByName(typing_t)
-        .unionByName(name_t)
+        links.select(
+            F.explode(
+                F.array(
+                    t(turn_bn, F.lit(f"<{EX}mentions>"), ent_bn),
+                    t(ent_bn, F.lit(a), F.lit(f"<{EX}Entity>")),
+                    t(
+                        ent_bn,
+                        F.lit(f"<{EX}name>"),
+                        F.concat(F.lit('"'), F.col("mention"), F.lit('"')),
+                    ),
+                )
+            ).alias("t")
+        )
+        .select("t.*")
         .dropDuplicates(["s", "p", "o"])
     )
 
