@@ -90,7 +90,11 @@ def flagship_triples(
     at sf0.1)."""
     t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir).cache()
     nodes, edges = pg_nodes(t), pg_edges(t)
-    triples, _quarantine = apply_prsc(spark, nodes, edges, flagship_catalog())
+    # unique_edge_triples: the projection guarantees no two edges share
+    # (src, dst, label) — NEXT/IN/USES are keyed by (conv, turn)
+    triples, _quarantine = apply_prsc(
+        spark, nodes, edges, flagship_catalog(), unique_edge_triples=True
+    )
     return triples
 
 

@@ -134,7 +134,7 @@ def apply_precc(
     spark: SparkSession, quads: DataFrame, context: PreccContext
 ) -> DataFrame:
     """Apply a PREC-C context to a PREC-0 quads DataFrame (s, p, o)."""
-    q = quads
+    q = _apply_bnode_mapping(spark, quads, context.blank_node_mapping)
     labels = _labels_df(q)
 
     # node -> collected type-labels (for sourceLabel/destinationLabel and
@@ -177,6 +177,84 @@ def apply_precc(
             )
         )
     return out
+
+
+# ------------------------------------------------------- bnode mapping
+def _apply_bnode_mapping(
+    spark: SparkSession, q: DataFrame, mapping: dict[str, str]
+) -> DataFrame:
+    """prec:mapBlankNodesToPrefix — rewrite typed blank nodes to IRIs
+    (reference: blankNodeMapping, prec-c/index.ts:82-110). Runs BEFORE
+    rule production, so renamed elements flow through templates as
+    IRIs.
+
+    Top-level positions are rewritten with joins (no Python). Nested
+    occurrences inside RDF-star term strings use a vectorized pandas
+    UDF with a broadcast dictionary — fine for the feature's intended
+    use (mapping a bounded vocabulary); a full-scale nested rewrite
+    would use an explode/join/reassemble pass instead.
+    """
+    if not mapping:
+        return q
+
+    pairs = None
+    for type_iri, prefix in mapping.items():
+        bns = (
+            q.filter(
+                (F.col("p") == A)
+                & (F.col("o") == f"<{type_iri}>")
+                & F.col("s").startswith("_:")
+            )
+            .select(F.col("s").alias("bn"))
+            .distinct()
+        )
+        m = bns.select(
+            "bn",
+            F.concat(
+                F.lit(f"<{prefix}"), F.expr("substring(bn, 3)"), F.lit(">")
+            ).alias("iri"),
+        )
+        pairs = m if pairs is None else pairs.unionByName(m)
+    pairs = pairs.cache()
+
+    for c in ("s", "p", "o"):
+        q = (
+            q.join(
+                pairs.withColumnRenamed("bn", f"__bn_{c}").withColumnRenamed(
+                    "iri", f"__iri_{c}"
+                ),
+                F.col(c) == F.col(f"__bn_{c}"),
+                "left",
+            )
+            .withColumn(c, F.coalesce(f"__iri_{c}", c))
+            .drop(f"__bn_{c}", f"__iri_{c}")
+        )
+
+    # nested occurrences (terms inside << ... >> strings)
+    has_nested = not q.filter(
+        F.col("s").contains("<<") | F.col("o").contains("<<")
+    ).isEmpty()
+    if has_nested:
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        table = {r.bn: r.iri for r in pairs.collect()}
+        if table:
+            rx = _re.compile(
+                "|".join(_re.escape(k) for k in sorted(table, key=len, reverse=True))
+            )
+
+            @pandas_udf("string")
+            def remap(col: pd.Series) -> pd.Series:
+                return col.str.replace(rx, lambda m: table[m.group(0)], regex=True)
+
+            for c in ("s", "o"):
+                q = q.withColumn(
+                    c, F.when(F.col(c).contains("<<"), remap(F.col(c))).otherwise(F.col(c))
+                )
+    return q
 
 
 # ---------------------------------------------------------------- edges

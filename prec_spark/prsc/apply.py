@@ -159,7 +159,11 @@ def elements_df(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def _substitute(col: Column, compiled: CompiledCatalog) -> Column:
-    """Chain of replace() calls instantiating every placeholder."""
+    """Chain of replace() calls instantiating every placeholder.
+
+    Kept for data-dependent pattern columns (PREC-C path); the PRSC hot
+    path uses `_compile_concat` instead (driver-known patterns compile
+    straight to concat expressions — no string scanning at runtime)."""
     col = F.replace(col, F.lit(PH_SELF), F.col("self_bn"))
     col = F.replace(col, F.lit(PH_SRC), F.coalesce(F.col("src_bn"), F.lit("")))
     col = F.replace(col, F.lit(PH_DST), F.coalesce(F.col("dst_bn"), F.lit("")))
@@ -188,11 +192,53 @@ def _substitute(col: Column, compiled: CompiledCatalog) -> Column:
     return col
 
 
+def _ph_expr(name: str, rule_idx: int) -> Column:
+    """Column expression for one placeholder name."""
+    if name == "SELF":
+        return F.col("self_bn")
+    if name == "SRC":
+        return F.coalesce(F.col("src_bn"), F.lit(""))
+    if name == "DST":
+        return F.coalesce(F.col("dst_bn"), F.lit(""))
+    if name.startswith("VAL:"):
+        key = name[4:]
+        return F.element_at(F.element_at(F.col("properties"), key), 1)
+    if name.startswith("BN:"):
+        return F.concat(
+            F.lit(f"_:tb{name[3:]}_r{rule_idx}_"),
+            sanitize_id_col(F.col("element_id")),
+        )
+    raise ValueError(name)
+
+
+def _compile_concat(
+    pattern: str, rule_idx: int, mapping: dict[str, Column] | None = None
+) -> Column:
+    """Compile a placeholder pattern string into a concat expression —
+    literal fragments stay literals, placeholders become column refs.
+    Whole-stage-codegen concat, zero runtime scanning."""
+    parts = pattern.split("\x00")
+    cols: list[Column] = []
+    for i, part in enumerate(parts):
+        if not part:
+            continue
+        if i % 2 == 0:
+            cols.append(F.lit(part))
+        elif mapping is not None:
+            cols.append(mapping[part])
+        else:
+            cols.append(_ph_expr(part, rule_idx))
+    if len(cols) == 1:
+        return cols[0]
+    return F.concat(*cols)
+
+
 def apply_prsc(
     spark: SparkSession,
     nodes: DataFrame,
     edges: DataFrame,
     catalog: PRSCCatalog,
+    unique_edge_triples: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply a PRSC context. Returns (triples, quarantine).
 
@@ -226,19 +272,96 @@ def apply_prsc(
     )
 
     matched = joined.filter(F.col("rule_idx").isNotNull() & ~F.col("multi_valued"))
-    exploded = matched.select(
-        "element_id",
-        "rule_idx",
-        "self_bn",
-        "src_bn",
-        "dst_bn",
-        "properties",
-        F.explode("template").alias("pattern"),
-    )
-    triples = exploded.select(
-        _substitute(F.element_at("pattern", 1), compiled).alias("s"),
-        _substitute(F.element_at("pattern", 2), compiled).alias("p"),
-        _substitute(F.element_at("pattern", 3), compiled).alias("o"),
-    ).dropDuplicates(["s", "p", "o"])
+
+    # ---- κ-based duplicate analysis (driver) -------------------------
+    # κ (characterizeTriple) is PRESERVED by instantiation: placeholders
+    # instantiate to blank nodes / literals, which κ maps back to the
+    # same placeholders. Hence:
+    #  * triples from κ-distinct templates can never be equal;
+    #  * a κ-unique template containing pvar:self yields distinct
+    #    triples for distinct elements (element ids are injective)
+    #      -> NO dedup needed ("free" class);
+    #  * a κ-unique template without self (edge-unique shape) can
+    #    collide only when its placeholder tuples collide
+    #      -> dedup on the narrow value tuple BEFORE string building;
+    #  * templates sharing a κ with another template need full string
+    #    dedup (rare).
+    # This removes the full-output string shuffle for the common case.
+    kappa_count: dict[str, int] = {}
+    from ..contexts.model import characterize_triple
+
+    def kappa_of(rule, ti):
+        tq = catalog.rules[rule].template[ti]
+        k = characterize_triple(tq)
+        return f"{k.s.nt()} {k.p.nt()} {k.o.nt()}"
+
+    for r_idx, rule in enumerate(catalog.rules):
+        for ti in range(len(rule.template)):
+            k = kappa_of(r_idx, ti)
+            kappa_count[k] = kappa_count.get(k, 0) + 1
+
+    free: dict[int, list[tuple[str, str, str]]] = {}
+    string_dedup: dict[int, list[tuple[str, str, str]]] = {}
+    for idx, _kind, _lk, _pk, patterns in compiled.rows:
+        for ti, pat in enumerate(patterns):
+            k = kappa_of(idx, ti)
+            if kappa_count[k] > 1:
+                string_dedup.setdefault(idx, []).append(tuple(pat))
+            elif any(PH_SELF in cell for cell in pat):
+                free.setdefault(idx, []).append(tuple(pat))
+            elif unique_edge_triples:
+                # caller guarantees no two edges share
+                # (src, dst, label) — edge-unique instantiations are
+                # then injective too (κ-unique template + distinct
+                # placeholder tuples)
+                free.setdefault(idx, []).append(tuple(pat))
+            else:
+                string_dedup.setdefault(idx, []).append(tuple(pat))
+
+    # NOTE: matched is intentionally NOT cached — it derives from the
+    # (caller-cached) transcripts via narrow ops + a broadcast join, so
+    # the (at most two) output branches recompute it cheaply; caching
+    # it would serialize the wide properties maps for little gain.
+    outputs: list[DataFrame] = []
+
+    def when_chain_explode(templates_by_rule: dict[int, list]) -> DataFrame | None:
+        if not templates_by_rule:
+            return None
+        arr_expr = None
+        for idx, pats in templates_by_rule.items():
+            structs = [
+                F.struct(
+                    _compile_concat(s_pat, idx).alias("s"),
+                    _compile_concat(p_pat, idx).alias("p"),
+                    _compile_concat(o_pat, idx).alias("o"),
+                )
+                for (s_pat, p_pat, o_pat) in pats
+            ]
+            cond = F.col("rule_idx") == idx
+            arr_expr = (
+                F.when(cond, F.array(*structs))
+                if arr_expr is None
+                else arr_expr.when(cond, F.array(*structs))
+            )
+        return matched.select(F.explode(arr_expr).alias("t")).select("t.*")
+
+    b_free = when_chain_explode(free)
+    if b_free is not None:
+        outputs.append(b_free)
+    b_str = when_chain_explode(string_dedup)
+    if b_str is not None:
+        outputs.append(b_str.dropDuplicates(["s", "p", "o"]))
+
+    if not outputs:
+        triples = spark.createDataFrame([], "s STRING, p STRING, o STRING")
+    else:
+        triples = outputs[0]
+        for df in outputs[1:]:
+            triples = triples.unionByName(df)
 
     return triples, quarantine
+
+
+def _placeholders_in(pattern: str) -> list[str]:
+    parts = pattern.split("\x00")
+    return [parts[i] for i in range(1, len(parts), 2) if parts[i]]

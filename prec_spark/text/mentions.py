@@ -170,9 +170,10 @@ def entity_triples(
 ) -> DataFrame:
     """Materialize mention/entity triples.
 
-    Single pass: each link row explodes into its 3 triples (mention
-    edge, entity typing, entity name) — the mention-detection UDF runs
-    once, not once per triple kind."""
+    The mention triples dedup on the narrow (conv, turn, mention) key
+    BEFORE string building; the entity typing/name triples come from
+    the tiny distinct-mention dimension — the expensive full-triple
+    string dedup never happens."""
     links = entity_links(spark, sf_dir, transcripts)
     turn_bn = F.concat(
         F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col("turn_idx").cast("string")
@@ -180,26 +181,19 @@ def entity_triples(
     ent_bn = F.concat(F.lit("_:entity_"), F.col("mention"))
     a = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
-    def t(s, p, o):
-        return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
-
-    return (
-        links.select(
-            F.explode(
-                F.array(
-                    t(turn_bn, F.lit(f"<{EX}mentions>"), ent_bn),
-                    t(ent_bn, F.lit(a), F.lit(f"<{EX}Entity>")),
-                    t(
-                        ent_bn,
-                        F.lit(f"<{EX}name>"),
-                        F.concat(F.lit('"'), F.col("mention"), F.lit('"')),
-                    ),
-                )
-            ).alias("t")
-        )
-        .select("t.*")
-        .dropDuplicates(["s", "p", "o"])
+    mention_t = links.dropDuplicates(["conv_id", "turn_idx", "mention"]).select(
+        turn_bn.alias("s"), F.lit(f"<{EX}mentions>").alias("p"), ent_bn.alias("o")
     )
+    ents = links.select("mention").distinct()
+    typing_t = ents.select(
+        ent_bn.alias("s"), F.lit(a).alias("p"), F.lit(f"<{EX}Entity>").alias("o")
+    )
+    name_t = ents.select(
+        ent_bn.alias("s"),
+        F.lit(f"<{EX}name>").alias("p"),
+        F.concat(F.lit('"'), F.col("mention"), F.lit('"')).alias("o"),
+    )
+    return mention_t.unionByName(typing_t).unionByName(name_t)
 
 
 def entity_triples_oracle_sql() -> str:

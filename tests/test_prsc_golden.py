@@ -233,3 +233,137 @@ def test_node_rule_with_source_rejected():
     """
     with pytest.raises(ContextViolations):
         PRSCCatalog.from_turtle(ctx)
+
+
+# ---- additional unit cases ported from test/prec_impl/prsc.test.ts ----
+
+def test_node_without_labels_or_properties(spark):
+    pg = '{"type":"node","id":"1"}'
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex: <http://test/>
+    [] a prec:PRSCNodeRule ;
+      prec:produces << pvar:node ex:exists ex:inthepg >> .
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    assert isomorphic(rows, golden("@prefix ex: <http://test/> . _:n ex:exists ex:inthepg ."))
+
+
+def test_rdf_star_property_on_edge(spark):
+    """Nested quoted triple with valueOf ('Map the property of an edge')."""
+    pg = """
+{"type":"node","id":"1","labels":["person"]}
+{"type":"node","id":"2","labels":["person"]}
+{"type":"relationship","id":"3","label":"knows","start":{"id":"1"},"end":{"id":"2"},"properties":{"since":"yesterday"}}
+"""
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex: <http://test/>
+    ex:person a prec:PRSCNodeRule ;
+      prec:label "person" ;
+      prec:produces << pvar:self a ex:Person >> .
+    [] a prec:PRSCEdgeRule ;
+      prec:label "knows" ;
+      prec:propertyKey "since" ;
+      prec:produces << pvar:source ex:knows pvar:destination >>,
+        << << pvar:destination ex:isStalkedBy pvar:source >> ex:since "since"^^prec:valueOf >> .
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    expected = golden("""
+        @prefix ex: <http://test/> .
+        _:toto ex:knows _:titi .
+        << _:titi ex:isStalkedBy _:toto >> ex:since "yesterday" .
+        _:toto a ex:Person . _:titi a ex:Person .
+    """)
+    assert isomorphic(rows, expected)
+
+
+def test_translate_labels_with_integer_property(spark):
+    pg = """
+{"type":"node","id":"1","labels":["person"],"properties":{"name":"Toto"}}
+{"type":"node","id":"2","labels":["knight"],"properties":{"name":"Alice","number":30}}
+{"type":"relationship","id":"3","label":"knows","start":{"id":"1"},"end":{"id":"2"},"properties":{"since":"2021"}}
+"""
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex: <http://test/>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    ex:PersonPGType a prec:PRSCNodeRule ;
+      prec:label "person" ;
+      prec:propertyKey "name" ;
+      prec:produces
+        << pvar:node rdf:type ex:Person >> ,
+        << pvar:node ex:name "name"^^prec:valueOf >> .
+    ex:KnightPGType a prec:PRSCNodeRule ;
+      prec:label "knight" ;
+      prec:propertyKey "name" ;
+      prec:propertyKey "number" ;
+      prec:produces
+        << pvar:node rdf:type ex:Knight >> ,
+        << pvar:node ex:name   "name"^^prec:valueOf >> ,
+        << pvar:node ex:number "number"^^prec:valueOf >> .
+    ex:KnowsPGEdge a prec:PRSCEdgeRule ;
+      prec:label "knows" ;
+      prec:propertyKey "since" ;
+      prec:produces
+           << pvar:source ex:knows pvar:destination >> ,
+        << << pvar:source ex:knows pvar:destination >> ex:since "since"^^prec:valueOf >> .
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    expected = golden("""
+        @prefix ex: <http://test/> .
+        _:toto a ex:Person ; ex:name "Toto" .
+        _:alice a ex:Knight ; ex:name "Alice" ; ex:number 30 .
+        _:toto ex:knows _:alice .
+        << _:toto ex:knows _:alice >> ex:since "2021" .
+    """)
+    assert isomorphic(rows, expected)
+
+
+def test_two_labels_set_match(spark):
+    pg = '{"type":"node","id":"1","labels":["Letter","Vowel"],"properties":{"value":"A"}}'
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex: <http://test/>
+    [] a prec:PRSCNodeRule ;
+      prec:label "Letter", "Vowel" ;
+      prec:propertyKey "value" ;
+      prec:produces << pvar:node ex:isTheLetter "value"^^prec:valueOf >> .
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    assert isomorphic(rows, golden('@prefix ex: <http://test/> . _:a ex:isTheLetter "A" .'))
+
+
+def test_template_blank_node_fresh_per_element(spark):
+    """A blank node in the template is instantiated fresh per element
+    (buildRdfTriplesFromRule, PrscContext.ts:205-212)."""
+    pg = """
+{"type":"node","id":"1","labels":["L"],"properties":{"v":"x"}}
+{"type":"node","id":"2","labels":["L"],"properties":{"v":"y"}}
+"""
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex: <http://test/>
+    [] a prec:PRSCNodeRule ;
+      prec:label "L" ;
+      prec:propertyKey "v" ;
+      prec:produces << pvar:node ex:hasProp _:pv >>,
+        << _:pv ex:value "v"^^prec:valueOf >> .
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    expected = golden("""
+        @prefix ex: <http://test/> .
+        _:n1 ex:hasProp _:pv1 . _:pv1 ex:value "x" .
+        _:n2 ex:hasProp _:pv2 . _:pv2 ex:value "y" .
+    """)
+    assert isomorphic(rows, expected)
