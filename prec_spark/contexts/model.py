@@ -226,47 +226,90 @@ class PRSCCatalog:
         return result
 
     # ---------------- well-behaved checks ----------------
-    def element_identification(self, rule: PRSCRule) -> bool:
-        """Every template triple contains pvar:self (or an equivalent);
-        edge-unique templates identify via source+destination
-        (well-behaved-check.ts:26-51)."""
-        if rule.kind == "edge" and is_edge_unique_template(rule.template):
-            return True
-        return all(
-            any(contains_term(t, st) for st in SELF_TERMS) for t in rule.template
-        )
+    def element_identification(self, rule: PRSCRule) -> str:
+        """'full' | 'edge-unique' | 'no'
+        (elementIdentification, well-behaved-check.ts:26-51):
+        * a template containing any blank node is never identifiable
+          (produced blank nodes would be confusable with elements);
+        * 'full' iff every triple carries pvar:self or the kind-specific
+          pvar (pvar:node for node rules, pvar:edge for edge rules);
+        * edges fall back to 'edge-unique' when every triple carries
+          both pvar:source and pvar:destination."""
+        for t in rule.template:
+            if any(isinstance(x, BlankNode) for x in walk_terms(t)):
+                return "no"
+        other = PVAR_NODE if rule.kind == "node" else PVAR_EDGE
+        if all(
+            contains_term(t, PVAR_SELF) or contains_term(t, other)
+            for t in rule.template
+        ):
+            return "full"
+        if rule.kind == "edge" and all(
+            contains_term(t, PVAR_SOURCE) and contains_term(t, PVAR_DESTINATION)
+            for t in rule.template
+        ):
+            return "edge-unique"
+        return "no"
 
     def all_signed(self) -> bool:
         return len(self.signatures()) == len(self.rules)
 
     def no_value_loss(self, rule: PRSCRule) -> bool:
-        """The unique-kappa triples of the rule jointly expose src+dst
-        (edges) and every property value (well-behaved-check.ts:81-116)."""
+        """The unique-kappa triples of the rule jointly expose EXACTLY
+        src+dst (edges; nodes must expose neither) and exactly the
+        rule's property set (noValueLoss, well-behaved-check.ts:81-116)."""
         kappa_count: dict[Quad, int] = {}
         for t in rule.template:
             k = characterize_triple(t)
             kappa_count[k] = kappa_count.get(k, 0) + 1
         uniques = [t for t in rule.template if kappa_count[characterize_triple(t)] == 1]
 
-        needed: set[str] = set(rule.properties)
-        need_src = rule.kind == "edge"
-        need_dst = rule.kind == "edge"
+        found_src = found_dst = False
+        labels: set[str] = set()
         for t in uniques:
             for term in walk_terms(t):
                 if isinstance(term, Literal) and term.datatype == PREC_VALUE_OF:
-                    needed.discard(term.value)
+                    labels.add(term.value)
                 if term == PVAR_SOURCE:
-                    need_src = False
+                    found_src = True
                 if term == PVAR_DESTINATION:
-                    need_dst = False
-        return not needed and not need_src and not need_dst
+                    found_dst = True
+        is_edge = rule.kind == "edge"
+        if found_src != is_edge or found_dst != is_edge:
+            return False
+        return labels == set(rule.properties)
+
+    def edge_unique_clashes(self, edge_unique_rules: list[PRSCRule]) -> list[PRSCRule]:
+        """Edge-unique rules whose template κ-set intersects another
+        rule's κ-set (findEdgeUniqueViolations intent,
+        well-behaved-check.ts:149-235)."""
+        clashing = []
+        for eu in edge_unique_rules:
+            eu_kappas = {characterize_triple(t) for t in eu.template}
+            for other in self.rules:
+                if other is eu:
+                    continue
+                if eu_kappas & {characterize_triple(t) for t in other.template}:
+                    clashing.append(eu)
+                    break
+        return clashing
 
     def well_behaved(self) -> bool:
-        return (
-            all(self.element_identification(r) for r in self.rules)
-            and self.all_signed()
-            and all(self.no_value_loss(r) for r in self.rules)
-        )
+        """wellBehavedCheck (well-behaved-check.ts:245-281)."""
+        edge_uniques = []
+        for r in self.rules:
+            ident = self.element_identification(r)
+            if ident == "no":
+                return False
+            if ident == "edge-unique":
+                edge_uniques.append(r)
+            if not self.no_value_loss(r):
+                return False
+        if not self.all_signed():
+            return False
+        if self.edge_unique_clashes(edge_uniques):
+            return False
+        return True
 
 
 class ContextViolations(Exception):
