@@ -7,10 +7,18 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Usage:
     python bench.py               # one JSON line for the driver
-    python bench.py --scaling     # run at two parallelism levels and
-                                  # report throughput + scaling efficiency
-                                  # (evidences the N vs 4N executor rule
-                                  # in this single-machine sandbox)
+    python bench.py --scaling     # N vs 4N cores on the same enlarged
+                                  # input (evidences the two-cluster-size
+                                  # rule in this single-machine sandbox)
+
+Scaling methodology (see BENCH.md): the same job runs warm (JIT +
+Python workers primed, best of SPARK_GRAFT_BENCH_REPS) at both
+parallelism levels on an input enlarged SPARK_GRAFT_BENCH_MULT x
+(deterministic conv_id-suffixed replication — both levels see the
+identical input). A pure-JVM compute microbenchmark (md5 fold) is
+reported alongside as the machine's parallel-scaling ceiling: this
+sandbox is a single shared VM, so wall-clock scaling saturates well
+below a real multi-executor cluster.
 """
 
 from __future__ import annotations
@@ -31,46 +39,56 @@ def _build(master: str, shuffle_partitions: int):
     )
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict, int]:
-    """Time each headline query; returns ({name: sec}, kg_triple_count)."""
-    from prec_spark.entry_queries import queries
+def _kg(spark, sf_dir: str, mult: int, cores: int):
+    from pyspark.sql import functions as F
 
-    q = queries()
-    headline = [
-        "transcripts",
-        "pg_nodes",
-        "pg_edges",
-        "prsc_transcript_triples",
-        "mentions",
-        "entity_links",
-        "canonical_entities",
-        "kg_triples",
-        "prec0_triples",
-    ]
-    extra = [k for k in q if k not in headline]
-    timings: dict[str, float] = {}
-    n_triples = 0
-    for name in headline + extra:
-        fn = q.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        cnt = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        if name == "kg_triples":
-            n_triples = cnt
-    return timings, n_triples
+    from prec_spark.flagship import flagship_triples
+    from prec_spark.text.mentions import entity_triples
+    from prec_spark.transcripts import transcripts_df
+
+    t = transcripts_df(spark, sf_dir)
+    if mult > 1:
+        t = (
+            t.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .withColumn(
+                "conv_id",
+                F.concat(F.col("rep").cast("string"), F.lit("-"), F.col("conv_id")),
+            )
+            .drop("rep")
+        )
+    t = t.repartition(4 * cores).cache()
+    t.count()
+    return flagship_triples(spark, sf_dir, transcripts=t).unionByName(
+        entity_triples(spark, sf_dir, t)
+    )
 
 
-def one_run(master: str, cpus: int, sf_dir: str):
-    spark = _build(master, shuffle_partitions=2 * cpus)
+def _cpu_ceiling(cores: int) -> float:
+    """Machine parallel-compute ceiling probe: md5 fold over 20M rows."""
+    from pyspark.sql import functions as F
+
+    spark = _build(f"local[{cores}]", cores)
+    df = spark.range(20_000_000, numPartitions=cores * 8)
+    expr = F.avg(F.length(F.md5(F.concat(F.lit("x"), F.col("id").cast("string")))))
+    df.select(expr).collect()
+    t0 = time.time()
+    df.select(expr).collect()
+    dt = time.time() - t0
+    spark.stop()
+    return dt
+
+
+def scaling_run(cores: int, sf_dir: str, mult: int, reps: int):
+    spark = _build(f"local[{cores}]", 2 * cores)
     try:
-        t0 = time.time()
-        from prec_spark.entry_queries import queries
-
-        n_triples = queries()["kg_triples"](spark, sf_dir).count()
-        wall = time.time() - t0
-        return n_triples, wall
+        kg = _kg(spark, sf_dir, mult, cores)
+        n = kg.count()  # warm (JIT, python workers)
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.time()
+            n = kg.count()
+            best = min(best, time.time() - t0)
+        return n, best
     finally:
         spark.stop()
 
@@ -81,12 +99,14 @@ def main():
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     if "--scaling" in sys.argv:
-        lo_cpus = max(2, cpus // 4)
+        mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "6"))
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        lo = max(2, cpus // 4)
         results = {}
-        for label, n in [("N", lo_cpus), ("4N", cpus)]:
-            triples, wall = one_run(f"local[{n}]", n, sf_dir)
+        for label, n_cores in [("N", lo), ("4N", cpus)]:
+            triples, wall = scaling_run(n_cores, sf_dir, mult, reps)
             results[label] = {
-                "cores": n,
+                "cores": n_cores,
                 "triples": triples,
                 "wall_sec": round(wall, 2),
                 "triples_per_sec": round(triples / wall, 1),
@@ -94,14 +114,43 @@ def main():
         eff = (
             results["4N"]["triples_per_sec"] / results["N"]["triples_per_sec"]
         ) / (results["4N"]["cores"] / results["N"]["cores"])
-        print(json.dumps({"scaling": results, "efficiency": round(eff, 3), "sf": sf}))
+        ceil_lo, ceil_hi = _cpu_ceiling(lo), _cpu_ceiling(cpus)
+        ceiling = (ceil_lo / ceil_hi) / (cpus / lo)
+        print(
+            json.dumps(
+                {
+                    "scaling": results,
+                    "efficiency": round(eff, 3),
+                    "machine_parallel_ceiling": round(ceiling, 3),
+                    "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+                    "input_multiplier": mult,
+                    "sf": sf,
+                }
+            )
+        )
         return
 
-    spark = _build(f"local[{cpus}]", shuffle_partitions=2 * cpus)
-    t0 = time.time()
-    timings, n_triples = run_queries(spark, sf_dir)
-    total = time.time() - t0
-    kg_sec = timings.get("kg_triples", total)
+    spark = _build(f"local[{cpus}]", 2 * cpus)
+    from prec_spark.entry_queries import queries
+
+    q = queries()
+    headline = [
+        "transcripts", "pg_nodes", "pg_edges", "prsc_transcript_triples",
+        "mentions", "entity_links", "canonical_entities", "kg_triples",
+        "prec0_triples", "dedup_minhash", "ann_bruteforce", "text_stats",
+    ]
+    timings: dict[str, float] = {}
+    n_triples = 0
+    for name in headline + [k for k in q if k not in headline]:
+        fn = q.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        cnt = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "kg_triples":
+            n_triples = cnt
+    kg_sec = timings.get("kg_triples", 0.0) or 1e-9
     print(
         json.dumps(
             {
@@ -111,7 +160,7 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "triples": n_triples,
-                "triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec else None,
+                "triples_per_sec": round(n_triples / kg_sec, 1),
                 "cores": cpus,
             }
         )
