@@ -276,18 +276,17 @@ def apply_prsc(
     # ---- κ-based duplicate analysis (driver) -------------------------
     # κ (characterizeTriple) is PRESERVED by instantiation: placeholders
     # instantiate to blank nodes / literals, which κ maps back to the
-    # same placeholders. Hence:
-    #  * triples from κ-distinct templates can never be equal;
-    #  * a κ-unique template containing pvar:self yields distinct
-    #    triples for distinct elements (element ids are injective)
-    #      -> NO dedup needed ("free" class);
-    #  * a κ-unique template without self (edge-unique shape) can
-    #    collide only when its placeholder tuples collide
-    #      -> dedup on the narrow value tuple BEFORE string building;
-    #  * templates sharing a κ with another template need full string
-    #    dedup (rare).
-    # This removes the full-output string shuffle for the common case.
-    kappa_count: dict[str, int] = {}
+    # same placeholders. Therefore triples from κ-distinct templates can
+    # never be equal, and within a κ-group:
+    #  * if every member contains pvar:self AND no rule contributes two
+    #    members, instantiations are injective — each element matches
+    #    exactly ONE rule, so two equal strings would need the same
+    #    element and the same template -> impossible. NO dedup ("free").
+    #  * a singleton non-self member (edge-unique shape) is free only
+    #    under the caller's unique-(src,dst,label) data contract;
+    #  * any other shape (two templates of one rule sharing κ — the
+    #    constant-vs-valueOf collision — or self/edge-unique mixtures)
+    #    keeps the reference's full string dedup.
     from ..contexts.model import characterize_triple
 
     def kappa_of(rule, ti):
@@ -295,28 +294,32 @@ def apply_prsc(
         k = characterize_triple(tq)
         return f"{k.s.nt()} {k.p.nt()} {k.o.nt()}"
 
+    kappa_groups: dict[str, list[tuple[int, int]]] = {}
     for r_idx, rule in enumerate(catalog.rules):
         for ti in range(len(rule.template)):
-            k = kappa_of(r_idx, ti)
-            kappa_count[k] = kappa_count.get(k, 0) + 1
+            kappa_groups.setdefault(kappa_of(r_idx, ti), []).append((r_idx, ti))
 
+    def group_is_free(members, patterns_by_rule) -> bool:
+        rules_seen = [r for r, _ in members]
+        if len(set(rules_seen)) != len(rules_seen):
+            return False  # one rule contributes twice: possible collision
+        all_self = all(
+            any(PH_SELF in cell for cell in patterns_by_rule[r][ti])
+            for r, ti in members
+        )
+        if all_self:
+            return True
+        if len(members) == 1 and unique_edge_triples:
+            return True  # κ-singleton edge-unique under the data contract
+        return False
+
+    patterns_by_rule = {idx: patterns for idx, _k, _l, _p, patterns in compiled.rows}
     free: dict[int, list[tuple[str, str, str]]] = {}
     string_dedup: dict[int, list[tuple[str, str, str]]] = {}
-    for idx, _kind, _lk, _pk, patterns in compiled.rows:
-        for ti, pat in enumerate(patterns):
-            k = kappa_of(idx, ti)
-            if kappa_count[k] > 1:
-                string_dedup.setdefault(idx, []).append(tuple(pat))
-            elif any(PH_SELF in cell for cell in pat):
-                free.setdefault(idx, []).append(tuple(pat))
-            elif unique_edge_triples:
-                # caller guarantees no two edges share
-                # (src, dst, label) — edge-unique instantiations are
-                # then injective too (κ-unique template + distinct
-                # placeholder tuples)
-                free.setdefault(idx, []).append(tuple(pat))
-            else:
-                string_dedup.setdefault(idx, []).append(tuple(pat))
+    for members in kappa_groups.values():
+        target = free if group_is_free(members, patterns_by_rule) else string_dedup
+        for r_idx, ti in members:
+            target.setdefault(r_idx, []).append(tuple(patterns_by_rule[r_idx][ti]))
 
     # NOTE: matched is intentionally NOT cached — it derives from the
     # (caller-cached) transcripts via narrow ops + a broadcast join, so

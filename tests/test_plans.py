@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in .explain() output (broadcast joins, pushed filters, no UDFs in the
+PRSC path, no shuffle in the dedup-free materialize)."""
+
+from pyspark.sql import functions as F
+
+from prec_spark.flagship import flagship_triples
+from prec_spark.session import load_table
+from prec_spark.transcripts import transcripts_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prsc_rule_assignment_is_broadcast(spark, sf_dir):
+    plan = plan_of(flagship_triples(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no sort-merge join: the rule catalog must never shuffle the big side
+    assert "SortMergeJoin" not in plan
+
+
+def test_prsc_path_has_no_python_udf(spark, sf_dir):
+    plan = plan_of(flagship_triples(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prsc_materialize_is_shuffle_free_after_pg(spark, sf_dir):
+    """With the κ-injectivity analysis + unique-edge contract, the only
+    exchanges in the flagship plan are the window shuffle that orders
+    turns (hashpartitioning by l_orderkey) — no exchange keyed on the
+    output triple strings."""
+    plan = plan_of(flagship_triples(spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in exchanges:
+        assert "s#" not in keys and "o#" not in keys, f"triple-string shuffle: {keys}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    # column pruning: scan schema restricted to the two selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_transcripts_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(transcripts_df(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
