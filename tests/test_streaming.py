@@ -16,3 +16,17 @@ def test_stream_matches_batch(spark, sf_dir):
         for r in run_windowed_counts_stream(spark, sf_dir).collect()
     }
     assert batch and stream == batch
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir):
+    from prec_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_stream(spark, sf_dir).collect()
+    }
+    assert batch and stream == batch
