@@ -1,0 +1,137 @@
+"""Generic quad-pattern operators over the triples DataFrame.
+
+The reference's workhorse is a backtracking multi-pattern conjunctive
+join (DStar.matchAndBind, /root/reference/src/dataset/index.ts:463-500
+— SURVEY.md §2.3 J1) plus the find-filter-replace rewrite built on it
+(J2, dataset/index.ts:373-445). Here the same operators are expressed
+relationally:
+
+* one pattern   -> filter + projection (variables become columns)
+* a pattern list -> left-deep chain of equi-joins on shared variables
+  (Catalyst reorders / broadcasts as it sees fit — the reference uses
+  user order with no reordering)
+* EXISTS-style condition groups -> LEFT SEMI joins
+* find-filter-replace -> except + union of instantiated rows
+
+Patterns are (s, p, o) triples of term strings where "?name" marks a
+variable (same syntax the reference uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def match_pattern(quads: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    """Single-pattern match -> one column per variable
+    (reference: DStar.matchPattern, dataset/index.ts:310-371)."""
+    df = quads
+    cols: dict[str, Column] = {}
+    for pos, term in zip(("s", "p", "o"), pattern):
+        if _is_var(term):
+            name = term[1:]
+            if name in cols:  # repeated variable: positions must agree
+                df = df.filter(F.col(pos) == cols[name])
+            else:
+                cols[name] = F.col(pos)
+        else:
+            df = df.filter(F.col(pos) == term)
+    return df.select(*[c.alias(n) for n, c in cols.items()])
+
+
+def match_and_bind(quads: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """Multi-pattern conjunctive join: bindings DataFrame with one
+    column per variable (J1). Shared variables become equi-join keys."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    out = match_pattern(quads, patterns[0])
+    for pattern in patterns[1:]:
+        step = match_pattern(quads, pattern)
+        shared = [c for c in step.columns if c in out.columns]
+        out = out.join(step, on=shared, how="inner") if shared else out.crossJoin(step)
+    return out
+
+
+def exists_filter(
+    bindings: DataFrame,
+    quads: DataFrame,
+    condition_groups: list[list[tuple[str, str, str]]],
+) -> DataFrame:
+    """Keep bindings for which EVERY condition group has >= 1 match —
+    the EXISTS semantics of findFilterReplace's conditions (J2,
+    dataset/index.ts:373-430). Bound variables flow into each group;
+    groups are independently scoped."""
+    out = bindings
+    for group in condition_groups:
+        grp = match_and_bind(quads, group)
+        shared = [c for c in grp.columns if c in out.columns]
+        if not shared:
+            # a group with no shared vars: keep all iff it matches anything
+            out = out if not grp.isEmpty() else out.filter(F.lit(False))
+            continue
+        out = out.join(grp.select(*shared).distinct(), on=shared, how="leftsemi")
+    return out
+
+
+def instantiate(bindings: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    """Bind variables in a destination pattern -> quad rows (P3,
+    bindVariables, dataset/index.ts:38-67)."""
+    cols = []
+    for pos, term in zip(("s", "p", "o"), pattern):
+        cols.append(
+            F.col(term[1:]).alias(pos) if _is_var(term) else F.lit(term).alias(pos)
+        )
+    return bindings.select(*cols)
+
+
+def find_filter_replace(
+    quads: DataFrame,
+    source: list[tuple[str, str, str]],
+    conditions: list[list[tuple[str, str, str]]],
+    destination: list[tuple[str, str, str]],
+) -> DataFrame:
+    """The J2 rewrite: match `source`, keep bindings passing every
+    condition group, delete the matched source quads, insert the
+    instantiated destination quads."""
+    bindings = match_and_bind(quads, source)
+    bindings = exists_filter(bindings, quads, conditions)
+
+    matched_quads = None
+    for pattern in source:
+        part = instantiate(bindings, pattern)
+        matched_quads = part if matched_quads is None else matched_quads.unionByName(part)
+
+    produced = None
+    for pattern in destination:
+        part = instantiate(bindings, pattern)
+        produced = part if produced is None else produced.unionByName(part)
+
+    kept = quads.join(matched_quads.distinct(), on=["s", "p", "o"], how="leftanti")
+    if produced is None:
+        return kept
+    return kept.unionByName(produced).dropDuplicates(["s", "p", "o"])
+
+
+# ------------------------------------------------------------------ set ops
+def quads_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1: set union (DStar.addAll + dedup, dataset/index.ts:114-178)."""
+    return a.unionByName(b).dropDuplicates(["s", "p", "o"])
+
+
+def quads_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U2: set difference (removeQuads/deleteMatches, :181-188,279-283)."""
+    return a.join(b, on=["s", "p", "o"], how="leftanti")
+
+
+def delete_matches(quads: DataFrame, s=None, p=None, o=None) -> DataFrame:
+    """U2 variant: delete by wildcard pattern."""
+    cond = F.lit(True)
+    for pos, term in (("s", s), ("p", p), ("o", o)):
+        if term is not None:
+            cond = cond & (F.col(pos) == term)
+    return quads.filter(~cond)

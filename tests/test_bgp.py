@@ -1,0 +1,97 @@
+"""Generic quad-pattern operators (J1 matchAndBind / J2
+findFilterReplace parity — reference: test/dataset/DStar.test.ts)."""
+
+from prec_spark.plans.bgp import (
+    delete_matches,
+    exists_filter,
+    find_filter_replace,
+    instantiate,
+    match_and_bind,
+    match_pattern,
+    quads_difference,
+    quads_union,
+)
+from prec_spark.rdf.turtle import parse_turtle
+
+
+def quads_df(spark, ttl):
+    rows = [
+        (q.s.nt(), q.p.nt(), q.o.nt())
+        for q in parse_turtle("@prefix ex: <http://e/> .\n" + ttl)
+    ]
+    return spark.createDataFrame(rows, "s STRING, p STRING, o STRING")
+
+
+GRAPH = """
+ex:a ex:knows ex:b .
+ex:b ex:knows ex:c .
+ex:a ex:name "A" .
+ex:b ex:name "B" .
+"""
+
+
+def test_match_pattern(spark):
+    df = quads_df(spark, GRAPH)
+    rows = match_pattern(df, ("?x", "<http://e/knows>", "?y")).collect()
+    assert {(r.x, r.y) for r in rows} == {
+        ("<http://e/a>", "<http://e/b>"),
+        ("<http://e/b>", "<http://e/c>"),
+    }
+
+
+def test_match_pattern_repeated_variable(spark):
+    df = quads_df(spark, GRAPH + "ex:r ex:knows ex:r .")
+    rows = match_pattern(df, ("?x", "<http://e/knows>", "?x")).collect()
+    assert {r.x for r in rows} == {"<http://e/r>"}
+
+
+def test_match_and_bind_chain(spark):
+    df = quads_df(spark, GRAPH)
+    rows = match_and_bind(
+        df,
+        [
+            ("?x", "<http://e/knows>", "?y"),
+            ("?y", "<http://e/knows>", "?z"),
+        ],
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].x, rows[0].y, rows[0].z) == (
+        "<http://e/a>", "<http://e/b>", "<http://e/c>",
+    )
+
+
+def test_exists_filter(spark):
+    df = quads_df(spark, GRAPH)
+    bindings = match_and_bind(df, [("?x", "<http://e/knows>", "?y")])
+    # keep only x that also have a name
+    out = exists_filter(bindings, df, [[("?x", "<http://e/name>", "?n")]])
+    assert {r.x for r in out.collect()} == {"<http://e/a>", "<http://e/b>"}
+    # condition on the object side: only pairs whose TARGET has a name
+    out2 = exists_filter(bindings, df, [[("?y", "<http://e/name>", "?n")]])
+    assert {(r.x, r.y) for r in out2.collect()} == {("<http://e/a>", "<http://e/b>")}
+
+
+def test_find_filter_replace(spark):
+    df = quads_df(spark, GRAPH)
+    out = find_filter_replace(
+        df,
+        source=[("?x", "<http://e/knows>", "?y")],
+        conditions=[[("?y", "<http://e/name>", "?n")]],
+        destination=[("?y", "<http://e/knownBy>", "?x")],
+    )
+    rows = {(r.s, r.p, r.o) for r in out.collect()}
+    # a knows b (b has a name) -> rewritten; b knows c (c unnamed) -> kept
+    assert ("<http://e/b>", "<http://e/knownBy>", "<http://e/a>") in rows
+    assert ("<http://e/b>", "<http://e/knows>", "<http://e/c>") in rows
+    assert ("<http://e/a>", "<http://e/knows>", "<http://e/b>") not in rows
+    # names untouched
+    assert ("<http://e/a>", "<http://e/name>", '"A"') in rows
+
+
+def test_set_ops(spark):
+    a = quads_df(spark, "ex:a ex:p ex:b . ex:c ex:p ex:d .")
+    b = quads_df(spark, "ex:a ex:p ex:b .")
+    assert quads_union(a, b).count() == 2
+    assert quads_difference(a, b).count() == 1
+    assert delete_matches(a, p="<http://e/p>").count() == 0
+    assert delete_matches(a, s="<http://e/a>").count() == 1
