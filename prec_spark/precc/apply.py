@@ -483,51 +483,98 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
                     indiv.append(row)
                 else:
                     always.append(row)
+            self_always, self_indiv = [], []
+            for st in tpl.self_is:
+                pat = compile_term(st, PROP_MAP)
+                (self_indiv if placeholder("INDIVVALUE") in pat else self_always).append(pat)
             all_cells = [c for r in always + indiv for c in r]
             uses_propkey = placeholder("PROPKEY") in "".join(all_cells)
             uses_propvalue = placeholder("PROPVALUE") in "".join(all_cells)
-            rows.append((idx, key, always, indiv, uses_propkey, uses_propvalue))
+            rows.append(
+                (idx, key, always, indiv, uses_propkey, uses_propvalue,
+                 self_always, self_indiv)
+            )
     tdf = spark.createDataFrame(
         rows,
         "rule_idx INT, holder_base STRING, template ARRAY<ARRAY<STRING>>, "
         "indiv_template ARRAY<ARRAY<STRING>>, uses_propkey BOOLEAN, "
-        "uses_propvalue BOOLEAN",
+        "uses_propvalue BOOLEAN, self_always ARRAY<STRING>, self_indiv ARRAY<STRING>",
     )
     inst = inst.join(F.broadcast(tdf), on=["rule_idx", "holder_base"], how="left")
 
-    bindings = {
-        "HOLDER": F.col("holder_resolved"),
-        "PROPKEY": F.col("prop_key"),
-        "LABEL": F.coalesce(F.col("key_label"), F.lit(pvar("label").nt())),
-        "PROPNODE": F.col("prop_node"),
-        "PROPVALUE": F.col("value"),
-    }
-    produced = _explode_and_substitute(inst.filter(F.size("template") > 0), bindings)
+    list_items = _rdf_list_items(q)  # (head, node, pos, item)
 
-    # individual values: explode list items (or the single literal)
-    list_items = _rdf_list_items(q)  # (head, pos, item)
-    indiv_inst = inst.filter(F.size("indiv_template") > 0)
-    indiv_joined = indiv_inst.join(
-        list_items, indiv_inst["value"] == list_items["head"], "left"
-    )
-    indiv_joined = indiv_joined.withColumn(
-        "indiv_value", F.coalesce(F.col("item"), F.col("value"))
-    )
-    indiv_produced = indiv_joined.select(
-        *[c for c in indiv_joined.columns],
-        F.explode("indiv_template").alias("pattern"),
-    ).select(
-        substitute(
-            F.element_at("pattern", 1), {**bindings, "INDIVVALUE": F.col("indiv_value")}
-        ).alias("s"),
-        substitute(
-            F.element_at("pattern", 2), {**bindings, "INDIVVALUE": F.col("indiv_value")}
-        ).alias("p"),
-        substitute(
-            F.element_at("pattern", 3), {**bindings, "INDIVVALUE": F.col("indiv_value")}
-        ).alias("o"),
-    )
-    produced = produced.unionByName(indiv_produced)
+    def bindings_of():
+        return {
+            "HOLDER": F.col("holder_resolved"),
+            "PROPKEY": F.col("prop_key"),
+            "LABEL": F.coalesce(F.col("key_label"), F.lit(pvar("label").nt())),
+            "PROPNODE": F.col("prop_node"),
+            "PROPVALUE": F.col("value"),
+        }
+
+    def produce(df: DataFrame) -> DataFrame:
+        """Instantiate always + individualValue templates for df rows."""
+        bindings = bindings_of()
+        out = _explode_and_substitute(df.filter(F.size("template") > 0), bindings)
+        indiv_inst = df.filter(F.size("indiv_template") > 0)
+        joined = indiv_inst.join(
+            list_items, indiv_inst["value"] == list_items["head"], "left"
+        ).withColumn("indiv_value", F.coalesce(F.col("item"), F.col("value")))
+        b2 = {**bindings, "INDIVVALUE": F.col("indiv_value")}
+        ip = joined.select(
+            *[c for c in joined.columns], F.explode("indiv_template").alias("pattern")
+        ).select(
+            substitute(F.element_at("pattern", 1), b2).alias("s"),
+            substitute(F.element_at("pattern", 2), b2).alias("p"),
+            substitute(F.element_at("pattern", 3), b2).alias("o"),
+        )
+        return out.unionByName(ip)
+
+    def selves_of(df: DataFrame) -> DataFrame:
+        """(prop_node, self) — the resolved identity/ies of each property
+        instance, from the template's selfIs patterns (incl. one self
+        per individual value for cartesian templates)."""
+        bindings = bindings_of()
+        sa = df.filter(F.size("self_always") > 0).select(
+            F.col("prop_node").alias("holder_key"),
+            F.explode(
+                F.transform("self_always", lambda pat: substitute(pat, bindings))
+            ).alias("resolved_self"),
+        )
+        si_rows = df.filter(F.size("self_indiv") > 0)
+        joined = si_rows.join(
+            list_items, si_rows["value"] == list_items["head"], "left"
+        ).withColumn("indiv_value", F.coalesce(F.col("item"), F.col("value")))
+        b2 = {**bindings, "INDIVVALUE": F.col("indiv_value")}
+        si = joined.select(
+            F.col("prop_node").alias("holder_key"),
+            F.explode(
+                F.transform("self_indiv", lambda pat: substitute(pat, b2))
+            ).alias("resolved_self"),
+        )
+        return sa.unionByName(si)
+
+    # level 0: properties whose holder is a node or an edge
+    base_inst = inst.filter(F.col("holder_base") != "meta")
+    produced = produce(base_inst)
+
+    # level 1: META-properties — the holder is itself a property node;
+    # deepResolve it to the parent property's selfIs instantiation(s)
+    # (rules-for-properties.ts:361-386; one meta level, as exercised by
+    # the reference corpus).
+    meta_raw = inst.filter(F.col("holder_base") == "meta")
+    if not meta_raw.isEmpty():
+        prop_selves = selves_of(base_inst)
+        meta_raw = meta_raw.drop("holder_resolved", "resolved_self")
+        meta = (
+            meta_raw.join(
+                prop_selves, meta_raw["holder"] == prop_selves["holder_key"], "inner"
+            )
+            .withColumnRenamed("resolved_self", "holder_resolved")
+            .drop("holder_key")
+        )
+        produced = produced.unionByName(produce(meta))
 
     # preserved property-key IRIs (usedProperties in the reference)
     preserved = (
