@@ -95,3 +95,15 @@ def test_set_ops(spark):
     assert quads_difference(a, b).count() == 1
     assert delete_matches(a, p="<http://e/p>").count() == 0
     assert delete_matches(a, s="<http://e/a>").count() == 1
+
+
+def test_ntriples_sink_roundtrip(spark, tmp_path):
+    from prec_spark.rdf.sink import write_ntriples
+    from prec_spark.rdf.turtle import parse_turtle
+
+    df = quads_df(spark, 'ex:a ex:p "x\\ny" . ex:a ex:q ex:b .')
+    out = str(tmp_path / "nt")
+    write_ntriples(df, out)
+    text = "\n".join(r.value for r in spark.read.text(out).collect())
+    reparsed = {(q.s.nt(), q.p.nt(), q.o.nt()) for q in parse_turtle(text)}
+    assert reparsed == {(r.s, r.p, r.o) for r in df.collect()}

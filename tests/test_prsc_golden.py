@@ -367,3 +367,29 @@ def test_template_blank_node_fresh_per_element(spark):
         _:n2 ex:hasProp _:pv2 . _:pv2 ex:value "y" .
     """)
     assert isomorphic(rows, expected)
+
+
+def test_named_graph_template_form(spark):
+    """Templates may be given as named graphs instead of quoted triples
+    (readTemplate, PrscRule.ts:138-152)."""
+    pg = '{"type":"node","id":"1","labels":["Person"],"properties":{"name":"Ann"}}'
+    ctx = """
+    PREFIX prec: <http://bruy.at/prec#>
+    PREFIX pvar: <http://bruy.at/prec-trans#>
+    PREFIX ex:   <http://example.org/>
+    ex:PersonForm a prec:PRSCNodeRule ;
+      prec:label "Person" ;
+      prec:propertyKey "name" ;
+      prec:produces ex:tpl .
+    ex:tpl {
+      pvar:self ex:hasLabel ex:person .
+      pvar:self ex:name "name"^^prec:valueOf .
+    }
+    """
+    rows, bad = run(spark, pg, ctx)
+    assert not bad
+    expected = golden("""
+        @prefix ex: <http://example.org/> .
+        _:ann ex:hasLabel ex:person ; ex:name "Ann" .
+    """)
+    assert isomorphic(rows, expected)
