@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (north_rule: spark-submit --py-files on a multi-executor
+cluster):
+
+    ./jobs/package.sh                       # builds dist/prec_spark.zip
+    spark-submit \
+      --master yarn --deploy-mode cluster \
+      --num-executors 200 --executor-cores 5 --executor-memory 20g \
+      --conf spark.sql.shuffle.partitions=2000 \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --py-files dist/prec_spark.zip \
+      jobs/run_pipeline.py \
+      --input  <iceberg-or-parquet transcripts table/path> \
+      --output <workdir for checkpoints + triples>
+
+Locally:
+
+    python jobs/run_pipeline.py --input /root/testdata/sf0.1 --output /tmp/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="sf_dir (local) or table path")
+    ap.add_argument("--output", required=True, help="workdir for checkpoints/triples")
+    ap.add_argument("--no-lineage", action="store_true")
+    args = ap.parse_args()
+
+    from prec_spark.pipeline import run_pipeline
+    from prec_spark.session import build_session
+
+    spark = build_session(app_name="prec-spark-pipeline")
+    triples, pipe = run_pipeline(
+        spark, args.input, args.output, collect_lineage=not args.no_lineage
+    )
+    summary = {
+        "triples": triples.count(),
+        "stages": [
+            {"stage": m.stage, "rows": m.rows, "wall_ms": m.wall_ms, "resumed": m.resumed}
+            for m in pipe.metrics
+        ],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
