@@ -43,12 +43,17 @@ def _case_sql(expr: str, values: list[str]) -> str:
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side transcripts derivation (DataFrame API).
 
-    One conversation per order; turn order = l_linenumber (unique per
-    order), so row_number is deterministic. Roles alternate
-    user / assistant; some assistant turns carry a tool call.
+    One conversation per order; turn order = the full lineitem sort
+    key (l_linenumber alone is NOT unique within an order in the
+    driver-generated data, so row_number needs the complete tuple for a
+    deterministic total order). Roles alternate user / assistant; some
+    assistant turns carry a tool call.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_shipdate",
+    )
     turn_idx = (F.row_number().over(w) - F.lit(1)).cast("int")
 
     ent1 = F.element_at(F.array(*[F.lit(e) for e in ENTITIES]),
@@ -97,7 +102,7 @@ def transcripts_oracle_sql(table: str = "lineitem") -> str:
     return f"""
 WITH numbered AS (
   SELECT *,
-    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS INT) AS turn_idx
+    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT) AS turn_idx
   FROM {table}
 ), enriched AS (
   SELECT *,
