@@ -75,6 +75,7 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.quads: list[Quad] = []
         self._anon = 0
+        self._graph: Term = DEFAULT_GRAPH
 
     # -- token helpers -------------------------------------------------
     def _peek(self):
@@ -136,8 +137,10 @@ class TurtleParser:
         kind, tok = self._peek()
         if tok == "{":  # TriG named-graph block
             self._next()
+            prev, self._graph = self._graph, subject
             while self._peek()[1] != "}":
                 self._parse_triples(graph=subject)
+            self._graph = prev
             self._next()
             return
         self._parse_predicate_object_list(subject, DEFAULT_GRAPH)
@@ -194,7 +197,7 @@ class TurtleParser:
             self._next()
             node = self._fresh_bnode()
             if self._peek()[1] != "]":
-                self._parse_predicate_object_list(node, DEFAULT_GRAPH)
+                self._parse_predicate_object_list(node, self._graph)
             self._expect("]")
             return node
         if tok == "(":
@@ -230,8 +233,8 @@ class TurtleParser:
         head: Term = NamedNode(RDF_NS + "nil")
         for item in reversed(items):
             node = self._fresh_bnode()
-            self.quads.append(Quad(node, NamedNode(RDF_NS + "first"), item, DEFAULT_GRAPH))
-            self.quads.append(Quad(node, NamedNode(RDF_NS + "rest"), head, DEFAULT_GRAPH))
+            self.quads.append(Quad(node, NamedNode(RDF_NS + "first"), item, self._graph))
+            self.quads.append(Quad(node, NamedNode(RDF_NS + "rest"), head, self._graph))
             head = node
         return head
 
