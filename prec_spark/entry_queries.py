@@ -115,8 +115,10 @@ FROM tm WHERE tool IS NOT NULL
 
 
 def _prec0_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_df(spark, sf_dir)
-    return prec0_quads(pg_nodes(t), pg_edges(t))
+    # nodes/edges cached: the PREC-0 expansion reads the PG once per quad
+    # family (19 narrow union branches)
+    t = transcripts_df(spark, sf_dir).cache()
+    return prec0_quads(pg_nodes(t).cache(), pg_edges(t).cache())
 
 
 def _prec0_oracle() -> str:

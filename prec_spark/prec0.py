@@ -18,6 +18,13 @@ Blank node ids are deterministic (derived from element ids), which is
 correct up to blank-node isomorphism (the reference's own equality
 criterion, test/utility.ts:35-59).
 
+Set semantics WITHOUT a global dedup shuffle: element-keyed quad
+families are injective by construction (element ids are unique, label
+arrays deduplicated at load), and the repeated METADATA quads (label /
+property-key IRIs, Created* typing, subclass singletons) are built from
+tiny `.distinct()` dimension tables instead of being emitted per
+element and deduplicated afterwards.
+
 NOTE (SURVEY.md §7): the PRSC hot path intentionally SKIPS this
 encoding and reads the relational nodes/edges directly; PREC-0 exists
 for parity, for PREC-0 reversion, and as an exchange format.
@@ -65,40 +72,35 @@ def _triples(df: DataFrame, s: Column, p: Column, o: Column) -> DataFrame:
 def prec0_quads(
     nodes: DataFrame, edges: DataFrame, vocab: str = DEFAULT_VOCAB
 ) -> DataFrame:
-    """PG -> PREC-0 triples (s, p, o term strings, deduplicated)."""
+    """PG -> PREC-0 triples (s, p, o term strings; set semantics)."""
     parts: list[DataFrame] = []
-
     prec = f"<{PREC_NS}%s>"
 
     # ---- nodes ------------------------------------------------------
     n = nodes
     parts.append(_triples(n, _bn(F.col("node_id")), F.lit(RDF_TYPE), F.lit(PGO_NODE)))
 
-    nlab = n.select(F.col("node_id"), F.explode("labels").alias("label"))
+    nlab = n.select(F.col("node_id"), F.explode(F.array_distinct("labels")).alias("label"))
     label_iri = _iri(vocab + "node/label/", F.col("label"))
     parts.append(_triples(nlab, _bn(F.col("node_id")), F.lit(RDF_TYPE), label_iri))
-    parts.append(_triples(nlab, label_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
-    parts.append(_triples(nlab, label_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedNodeLabel")))
+
+    # label metadata from the (tiny) distinct-label dimension
+    label_dim = nlab.select("label").distinct()
+    parts.append(_triples(label_dim, label_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
+    parts.append(_triples(label_dim, label_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedNodeLabel")))
     parts.append(
         _triples(
-            nlab.limit(1),
+            label_dim.limit(1),
             F.lit(prec % "CreatedNodeLabel"),
             F.lit(RDFS_SUBCLASSOF),
             F.lit(prec % "CreatedVocabulary"),
         )
     )
 
-    parts.extend(
-        _property_quads(
-            n.select(
-                F.col("node_id").alias("holder_id"),
-                F.col("labels"),
-                F.col("properties"),
-            ),
-            vocab + "node/property/",
-            prec,
-        )
+    node_props = n.select(
+        F.col("node_id").alias("holder_id"), F.col("labels"), F.col("properties")
     )
+    parts.extend(_property_quads(node_props, vocab + "node/property/", prec))
 
     # ---- edges ------------------------------------------------------
     e = edges
@@ -108,32 +110,29 @@ def prec0_quads(
     parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}subject>"), _bn(F.col("src_id"))))
     parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}object>"), _bn(F.col("dst_id"))))
     parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}predicate>"), elabel_iri))
-    parts.append(_triples(e, elabel_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
-    parts.append(_triples(e, elabel_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedEdgeLabel")))
+
+    elabel_dim = e.select("label").distinct()
+    parts.append(_triples(elabel_dim, elabel_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
+    parts.append(_triples(elabel_dim, elabel_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedEdgeLabel")))
     parts.append(
         _triples(
-            e.limit(1),
+            elabel_dim.limit(1),
             F.lit(prec % "CreatedEdgeLabel"),
             F.lit(RDFS_SUBCLASSOF),
             F.lit(prec % "CreatedVocabulary"),
         )
     )
-    parts.extend(
-        _property_quads(
-            e.select(
-                F.col("edge_id").alias("holder_id"),
-                F.array(F.col("label")).alias("labels"),
-                F.col("properties"),
-            ),
-            vocab + "edge/property/",
-            prec,
-        )
+    edge_props = e.select(
+        F.col("edge_id").alias("holder_id"),
+        F.array(F.col("label")).alias("labels"),
+        F.col("properties"),
     )
+    parts.extend(_property_quads(edge_props, vocab + "edge/property/", prec))
 
     out = parts[0]
     for p_df in parts[1:]:
         out = out.unionByName(p_df)
-    return out.dropDuplicates(["s", "p", "o"])
+    return out
 
 
 def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFrame]:
@@ -152,6 +151,7 @@ def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFra
         .select(
             "holder_id",
             "key",
+            "label_tag",
             F.concat(F.lit(prop_ns), F.col("key"), F.lit("/"), F.col("label_tag")).alias(
                 "prop_iri_body"
             ),
@@ -172,14 +172,17 @@ def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFra
     )
 
     prop_iri = _iri(F.col("prop_iri_body"))
+    # metadata from the distinct (key, label_tag) dimension
+    key_dim = props.select("key", "prop_iri_body").distinct()
+    key_dim_iri = _iri(F.col("prop_iri_body"))
     out = [
         _triples(props, _bn(F.col("holder_id")), prop_iri, F.col("value_bn")),
         _triples(props, F.col("value_bn"), F.lit(RDF_TYPE), F.lit(prec % "PropertyKeyValue")),
-        _triples(props, prop_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
-        _triples(props, prop_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
-        _triples(props, prop_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
+        _triples(key_dim, key_dim_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
+        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
+        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
         _triples(
-            props.limit(1),
+            key_dim.limit(1),
             F.lit(prec % "CreatedPropertyKey"),
             F.lit(RDFS_SUBCLASSOF),
             F.lit(prec % "CreatedVocabulary"),
