@@ -57,15 +57,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sizes = ex.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    # Verification is driven FROM the candidate set: cand -> doc_a's
+    # shingles -> equi-join on (doc_b, shingle). Work is bounded by
+    # |candidates| x shingles-per-doc; a hot shingle shared by k docs
+    # never creates k^2 rows here (it would in a shingle self-join).
     common = (
-        ex.alias("x")
-        .join(ex.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        cand.join(ex.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(ex.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        .join(cand, ["doc_a", "doc_b"], "leftsemi")
     )
     verified = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")

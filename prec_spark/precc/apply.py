@@ -133,7 +133,19 @@ def _contains_term(hay: Column, needle: Column) -> Column:
 def apply_precc(
     spark: SparkSession, quads: DataFrame, context: PreccContext
 ) -> DataFrame:
-    """Apply a PREC-C context to a PREC-0 quads DataFrame (s, p, o)."""
+    """Apply a PREC-C context to a PREC-0 quads DataFrame (s, p, o).
+
+    The input is materialized behind a plan barrier (localCheckpoint)
+    first: the PREC-C stages below reference the quads ~15 times
+    (edges/properties/node-labels self-joins + preserved-subject
+    semi-joins), and composing each reference with an arbitrarily deep
+    upstream lineage (e.g. prec0_quads' ~20-branch union) multiplies
+    the Catalyst plan exponentially — a 4 GiB driver OOMs in
+    ColumnPruning on a 170-element graph without the barrier. At scale
+    the barrier is also the efficient plan: the PREC-0 encoding is
+    computed once, not once per downstream self-join.
+    """
+    quads = quads.localCheckpoint(eager=True)
     q = _apply_bnode_mapping(spark, quads, context.blank_node_mapping)
     labels = _labels_df(q)
 
