@@ -57,6 +57,14 @@ from .ann import (
     ann_ivf_oracle_sql,
 )
 from .multimodal import binary_features, binary_features_oracle_sql
+from .precc_flagship import (
+    prec0_roundtrip,
+    prec0_roundtrip_oracle_sql,
+    precc_oracle_sql,
+    precc_transcript_triples,
+    prsc_roundtrip,
+    prsc_roundtrip_oracle_sql,
+)
 
 
 # ---------------------------------------------------------------- helpers
@@ -270,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_edges": _pg_edges_flat,
         "prec0_triples": _prec0_triples,
         "prsc_transcript_triples": flagship_triples,
+        "precc_triples": precc_transcript_triples,
+        "prsc_roundtrip": prsc_roundtrip,
+        "prec0_roundtrip": prec0_roundtrip,
         "mentions": mentions_df,
         "entity_links": entity_links,
         "canonical_entities": canonical_entities,
@@ -297,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
         "pg_edges": _pg_edges_oracle(),
         "prec0_triples": _prec0_oracle(),
         "prsc_transcript_triples": flagship_oracle_sql(),
+        "precc_triples": precc_oracle_sql(),
+        "prsc_roundtrip": prsc_roundtrip_oracle_sql(),
+        "prec0_roundtrip": prec0_roundtrip_oracle_sql(),
         "mentions": mentions_oracle_sql(),
         "entity_links": entity_links_oracle_sql(),
         "canonical_entities": canonical_entities_oracle_sql(),
