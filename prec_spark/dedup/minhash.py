@@ -31,9 +31,14 @@ def _minhashes(ex: DataFrame) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — verified near-dup pairs."""
-    ex = doc_shingles(spark, sf_dir).cache()
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — verified near-dup pairs.
+
+    `shingles` overrides the documents-table shingling (tests inject
+    skewed corpora through it)."""
+    ex = (shingles if shingles is not None else doc_shingles(spark, sf_dir)).cache()
     mh = _minhashes(ex)
 
     bands = None

@@ -201,10 +201,10 @@ def _apply_bnode_mapping(
     IRIs.
 
     Top-level positions are rewritten with joins (no Python). Nested
-    occurrences inside RDF-star term strings use a vectorized pandas
-    UDF with a broadcast dictionary — fine for the feature's intended
-    use (mapping a bounded vocabulary); a full-scale nested rewrite
-    would use an explode/join/reassemble pass instead.
+    occurrences inside RDF-star term strings are rewritten with a
+    distributed explode / join / fold-reassemble pass over the DISTINCT
+    nested term strings — no driver-side collect, so the blank-node map
+    can be O(|elements|) without bounding driver memory.
     """
     if not mapping:
         return q
@@ -242,30 +242,64 @@ def _apply_bnode_mapping(
             .drop(f"__bn_{c}", f"__iri_{c}")
         )
 
-    # nested occurrences (terms inside << ... >> strings)
-    has_nested = not q.filter(
-        F.col("s").contains("<<") | F.col("o").contains("<<")
-    ).isEmpty()
-    if has_nested:
-        import re as _re
+    # nested occurrences (terms inside << ... >> strings): a fully
+    # distributed explode/join/reassemble pass — no driver-side collect,
+    # no data-sized regex. For each DISTINCT nested term string, extract
+    # its bnode tokens, join them against the mapping, and fold the
+    # matched (bn -> iri) replacements back over the string (longest
+    # name first, so a bnode whose name prefixes another's is safe).
+    from ..prsc.revert import BNODE_RE
 
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        table = {r.bn: r.iri for r in pairs.collect()}
-        if table:
-            rx = _re.compile(
-                "|".join(_re.escape(k) for k in sorted(table, key=len, reverse=True))
-            )
-
-            @pandas_udf("string")
-            def remap(col: pd.Series) -> pd.Series:
-                return col.str.replace(rx, lambda m: table[m.group(0)], regex=True)
-
-            for c in ("s", "o"):
-                q = q.withColumn(
-                    c, F.when(F.col(c).contains("<<"), remap(F.col(c))).otherwise(F.col(c))
+    nested_vals = (
+        q.filter(F.col("s").contains("<<")).select(F.col("s").alias("val"))
+        .unionByName(
+            q.filter(F.col("o").contains("<<")).select(F.col("o").alias("val"))
+        )
+        .distinct()
+    )
+    tokens = nested_vals.select(
+        "val",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("val", F.lit(BNODE_RE), F.lit(0)))
+        ).alias("bn"),
+    )
+    rewritten = (
+        tokens.join(pairs, "bn", "inner")
+        .groupBy("val")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.length("bn")).alias("neg_len"),
+                        F.col("bn"),
+                        F.col("iri"),
+                    )
                 )
+            ).alias("repl")
+        )
+        .select(
+            "val",
+            F.aggregate(
+                "repl",
+                F.col("val"),
+                lambda acc, r: F.replace(
+                    acc, r.getField("bn"), r.getField("iri")
+                ),
+            ).alias("new_val"),
+        )
+    )
+    for c in ("s", "o"):
+        q = (
+            q.join(
+                rewritten.withColumnRenamed("val", f"__v_{c}").withColumnRenamed(
+                    "new_val", f"__nv_{c}"
+                ),
+                F.col(c) == F.col(f"__v_{c}"),
+                "left",
+            )
+            .withColumn(c, F.coalesce(f"__nv_{c}", c))
+            .drop(f"__v_{c}", f"__nv_{c}")
+        )
     return q
 
 

@@ -124,26 +124,28 @@ def canonical_entities(
 
     Salted two-phase aggregation: phase 1 groups by (entity_id, salt)
     — the hot entity's mentions spread over N_SALTS reducers — phase 2
-    merges the partials. Deterministic output; at 100 TB the phase-1
-    combine happens map-side.
+    merges the partials. The salt is a function of conv_id ONLY, so
+    each conversation lands in exactly one salt bucket and the per-salt
+    distinct-conversation counts SUM to the exact global distinct —
+    both aggregates are exact in one salted pass, no unsalted second
+    scan. Deterministic output; at 100 TB the phase-1 combine happens
+    map-side.
     """
     links = entity_links(spark, sf_dir, transcripts)
     salted = links.withColumn(
-        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(N_SALTS))
+        "salt", F.pmod(F.xxhash64("conv_id"), F.lit(N_SALTS))
     )
     partial = salted.groupBy("entity_id", "salt").agg(
         F.count("*").alias("pn"),
-        F.countDistinct("conv_id").alias("pc_upper"),  # upper bound per salt
+        F.countDistinct("conv_id").alias("pc"),  # exact: salt = f(conv_id)
     )
-    merged = partial.groupBy("entity_id").agg(F.sum("pn").alias("n_mentions"))
-    # exact distinct-conversation count needs its own (cheap) pass
-    convs = links.groupBy("entity_id").agg(
-        F.countDistinct("conv_id").alias("n_conversations")
+    merged = partial.groupBy("entity_id").agg(
+        F.sum("pn").alias("n_mentions"),
+        F.sum("pc").alias("n_conversations"),
     )
     e = entities_df(spark)
     return (
-        merged.join(convs, "entity_id")
-        .join(F.broadcast(e), "entity_id")
+        merged.join(F.broadcast(e), "entity_id")
         .select(
             "entity_id",
             F.col("entity_name").alias("canonical_name"),

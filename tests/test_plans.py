@@ -57,3 +57,16 @@ def test_transcripts_single_window_shuffle(spark, sf_dir):
     keys = {m for m in re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)}
     assert len(keys) == 1 and next(iter(keys)).startswith("l_orderkey"), plan
     assert "Window" in plan
+
+
+def test_minhash_verification_is_candidate_driven(spark, sf_dir):
+    """No join in the MinHash plan may equi-join on `shingle` alone —
+    verification must carry a doc key in the same join (the candidate-
+    driven shape), so a hot shingle can never drive an all-pairs blowup."""
+    from prec_spark.dedup.minhash import dedup_minhash_pairs
+
+    spark.catalog.clearCache()
+    plan = dedup_minhash_pairs(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert "doc_" in line, f"shingle-only join: {line}"

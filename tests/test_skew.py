@@ -55,3 +55,48 @@ def test_skewed_pipeline_counts(spark, sf_dir):
     links_n = entity_links(spark, sf_dir, t).count()
     canon = canonical_entities(spark, sf_dir, t)
     assert canon.agg(F.sum("n_mentions")).collect()[0][0] == links_n
+
+
+def test_hot_entity_canonicalization_exact(spark, sf_dir):
+    """The one-pass salted aggregation (salt = f(conv_id)) must be
+    EXACT for both n_mentions and n_conversations, including under a
+    hot conversation that floods one entity's mentions."""
+    t = skewed_transcripts(spark, sf_dir).cache()
+    links = entity_links(spark, sf_dir, t).cache()
+    expected = links.groupBy("entity_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_conversations"),
+    )
+    got = canonical_entities(spark, sf_dir, t).select(
+        "entity_id", "n_mentions", "n_conversations"
+    )
+    assert got.exceptAll(expected).isEmpty() and expected.exceptAll(got).isEmpty()
+
+
+def test_minhash_hot_shingle(spark, sf_dir):
+    """Candidate-driven MinHash verification must stay bounded when one
+    shingle appears in 50% of a 20k-doc corpus (the old shingle
+    self-join would build ~10^8 intermediate rows here)."""
+    from prec_spark.dedup.minhash import dedup_minhash_pairs
+
+    n = 20_000
+    docs = spark.range(n)
+    # every doc: 10 private shingles + (for even ids) one global hot shingle
+    shingles = docs.select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(9)),
+                    lambda i: F.concat(F.col("id").cast("string"), F.lit("_"), i),
+                ),
+                F.when(F.col("id") % 2 == 0, F.array(F.lit("HOT"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        ).alias("shingle"),
+    )
+    pairs = dedup_minhash_pairs(spark, sf_dir, shingles=shingles)
+    rows = pairs.collect()  # must complete quickly; sharing only HOT -> low jaccard
+    assert all(r.jaccard >= 0.5 for r in rows)
+    assert len(rows) == 0  # 1/21 overlap can never pass the 0.5 threshold
