@@ -15,8 +15,65 @@ from .prec0 import prec0_quads
 from .precc.apply import apply_precc
 from .precc.context import PreccContext, _SYNONYMS, prec
 from .prsc.apply import apply_prsc
-from .rdf.terms import NamedNode, Quad
+from .rdf.terms import Literal, NamedNode, Quad, Term
 from .rdf.turtle import parse_turtle
+
+#: Obsolete vocabulary rejected with a hard error BEFORE dispatch
+#: (hasForbiddenTerms, apply-context.ts:55-99). The reference refuses
+#: these outright even though older loader code still knows them as
+#: synonyms — the throw happens first, so parity means throwing too.
+_PVAR_NS = "http://bruy.at/prec-trans#"
+FORBIDDEN_TERMS = frozenset(
+    [
+        # Relationship terminology -> use the word edge instead
+        prec("RelationshipRule"), prec("RelationshipTemplate"),
+        prec("Relationships"), prec("RelationshipProperties"),
+        prec("IRIOfRelationshipLabel"), prec("relationshipIRI"),
+        NamedNode(_PVAR_NS + "relationshipIRI"), NamedNode(_PVAR_NS + "relationship"),
+        # Old type names in PRSC
+        prec("prsc_node"), prec("prsc_edge"),
+        prec("nodeLabel"), prec("edgeLabel"),
+        prec("_valueOf"), prec("prsc_valueOf"),
+        # Old PREC-C terminology
+        prec("edgeIs"), prec("entityIs"),
+        NamedNode(_PVAR_NS + "entity"),
+        prec("SubstitutionTerm"),
+        NamedNode(_PVAR_NS + "metaPropertyNode"),
+    ]
+)
+
+
+def has_forbidden_terms(quads: list[Quad]) -> list[Term]:
+    """All obsolete terms used anywhere in the context (including
+    inside nested RDF-star quads and literal datatypes), in first-seen
+    order. Empty list = clean context."""
+    seen: dict[Term, None] = {}
+
+    def walk(term):
+        if isinstance(term, Quad):
+            walk(term.s)
+            walk(term.p)
+            walk(term.o)
+            walk(term.g)
+        elif isinstance(term, NamedNode):
+            if term in FORBIDDEN_TERMS:
+                seen.setdefault(term, None)
+        elif isinstance(term, Literal) and term.datatype is not None:
+            walk(term.datatype)
+
+    for q in quads:
+        walk(q)
+    return list(seen)
+
+
+def check_obsolete_terms(quads: list[Quad]) -> None:
+    """performObsoleteTermsCheck (apply-context.ts:42-48)."""
+    bad = has_forbidden_terms(quads)
+    if bad:
+        as_string = ", ".join(t.nt() for t in bad)
+        raise ValueError(
+            "The context contains the following forbidden terms: " + as_string
+        )
 
 _PRSC_TYPES = {prec("PRSCNodeRule"), prec("PRSCEdgeRule")}
 _PRECC_SUBJECTS = {
@@ -67,6 +124,7 @@ def apply_context(
     strict: bool = True,
 ) -> DataFrame:
     """PG (nodes/edges DataFrames) + context -> triples (s, p, o)."""
+    check_obsolete_terms(context_quads)
     kind = context_type(context_quads)
     if kind == "invalid":
         raise ValueError("The given context mixes PREC-C and PRSC directives")

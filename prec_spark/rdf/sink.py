@@ -4,12 +4,33 @@ The canonical term-string encoding makes N-Triples serialization a
 single concat — `write_ntriples` emits a standard .nt dataset as
 Spark text partitions (plus parquet for the structured form). Nested
 RDF-star terms serialize in the `<< ... >>` RDF-star N-Triples syntax.
+
+`write_turtle` is the reference's default output format (an n3 Writer
+with prefixes, /root/reference/src/rdf/parsing.ts:15-23): @prefix
+header + prefixed names wherever a term IRI starts with a declared
+namespace. The dataset is the concatenation of the part files in
+filename order — the header is guaranteed to be in the first part.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: default prefix table (the reference's PRECNamespace set)
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "prec": "http://bruy.at/prec#",
+    "pvar": "http://bruy.at/prec-trans#",
+    "pgo": "http://ii.uwb.edu.pl/pgo#",
+}
+
+#: IRI local parts safe to abbreviate without PN_LOCAL escaping
+_LOCAL = r"([A-Za-z][A-Za-z0-9_\-]*)"
 
 
 def ntriples_lines(triples: DataFrame) -> DataFrame:
@@ -22,6 +43,59 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
 
 def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite"):
     ntriples_lines(triples).write.mode(mode).text(path)
+
+
+def _compress(col: Column, prefixes: dict[str, str]) -> Column:
+    """Rewrite <ns+local> IRIs to pfx:local inside a term string.
+
+    Guarded: plain literal cells (leading '\"') are left untouched so
+    literal content can never be rewritten. (Inside nested RDF-star
+    strings the rewrite applies to the whole term string; a literal
+    embedded there whose CONTENT spells out a full `<ns...>` IRI would
+    be abbreviated too — acceptable for an output format, and our
+    encoders never produce such literals.)"""
+    out = col
+    lit = col
+    for pfx, ns in prefixes.items():
+        out = F.regexp_replace(
+            out, "<" + re.escape(ns) + _LOCAL + ">", pfx + r":$1"
+        )
+        # literals: only the end-anchored ^^<datatype> is compressible
+        lit = F.regexp_replace(
+            lit, r"\^\^<" + re.escape(ns) + _LOCAL + ">$", r"^^" + pfx + r":$1"
+        )
+    return F.when(col.startswith('"'), lit).otherwise(out)
+
+
+def turtle_lines(
+    triples: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Prefixed-Turtle serialization as a line DataFrame; the @prefix
+    header rows form their own FIRST partition, so writing the lines
+    as text and concatenating the parts in filename order is a valid
+    Turtle document."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(f"@prefix {p}: <{ns}> .",) for p, ns in prefixes.items()], "value string"
+    ).coalesce(1)
+    body = triples.select(
+        F.concat_ws(
+            " ",
+            _compress(F.col("s"), prefixes),
+            _compress(F.col("p"), prefixes),
+            _compress(F.col("o"), prefixes),
+            F.lit("."),
+        ).alias("value")
+    )
+    return header.unionByName(body)
+
+
+def write_turtle(
+    triples: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+    mode: str = "overwrite",
+):
+    turtle_lines(triples, prefixes).write.mode(mode).text(path)
 
 
 def write_triples_parquet(

@@ -7,18 +7,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: Heavy end-to-end modules run in their OWN SparkSession so a driver
+#: failure there (e.g. an OOM) cannot poison the shared session and
+#: cascade into dozens of spurious failures (round-1 VERDICT: one OOM
+#: read as 83 failures). Everything else shares one lazily-(re)built
+#: session. Only one JVM context is ever live at a time.
+_ISOLATED_MODULES = {
+    "test_reference_corpus",
+    "test_precc_golden",
+    "test_entry",
+}
 
-@pytest.fixture(scope="session")
-def spark():
+_state: dict = {"shared": None}
+
+
+def _build(app_name: str):
     from prec_spark.session import build_session
 
-    spark = build_session(
-        app_name="prec-spark-tests",
+    return build_session(
+        app_name=app_name,
         master="local[4]",
         shuffle_partitions=8,
         extra_conf={"spark.driver.memory": "4g"},
     )
-    yield spark
+
+
+def _alive(s) -> bool:
+    return s is not None and s.sparkContext._jsc is not None
+
+
+@pytest.fixture(scope="module")
+def spark(request):
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    if mod in _ISOLATED_MODULES:
+        if _alive(_state["shared"]):
+            _state["shared"].stop()
+        _state["shared"] = None
+        isolated = _build(f"prec-spark-{mod}")
+        yield isolated
+        isolated.stop()
+    else:
+        if not _alive(_state["shared"]):
+            _state["shared"] = _build("prec-spark-tests")
+        yield _state["shared"]
 
 
 @pytest.fixture(scope="session")
