@@ -1,0 +1,71 @@
+"""IVF recall property on a planted clustered corpus.
+
+The driver-generated embeddings are structureless w.r.t. cosine
+neighborhoods (brute-force top-5 neighbors share the query's label at
+chance level), so IVF's recall contract is asserted here on data where
+it applies: 10 well-separated planted clusters. k-means must recover
+them and nprobe=2 search must reach recall@5 >= 0.9 vs exact search.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prec_spark.ann.search import NPROBE, TOP_K, ann_ivf, train_kmeans, _assign
+
+N = 500
+DIM = 16
+K = 10
+
+
+def planted(seed_scale: float = 10.0):
+    """Deterministic clustered corpus: cluster c centered at
+    seed_scale * e_c, plus small deterministic noise."""
+    ids = np.arange(N)
+    clusters = (ids // 50) % K  # queries (id % 50 == 0) span all clusters
+    V = np.zeros((N, DIM))
+    V[np.arange(N), clusters] = seed_scale
+    noise = ((ids[:, None] * 31 + np.arange(DIM)[None, :] * 17) % 97) / 97.0 - 0.5
+    V = V + noise
+    return ids, clusters, V
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    ids, clusters, V = planted()
+    nrm = np.linalg.norm(V, axis=1)
+    rows = [
+        (int(i), [float(x) for x in V[i]], float(nrm[i])) for i in range(N)
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE")
+
+
+def test_kmeans_recovers_planted_clusters(spark, planted_vecs):
+    ids, clusters, V = planted()
+    cents = train_kmeans(spark, planted_vecs)
+    assigned = {r.vec_id: r.cell for r in _assign(planted_vecs, cents).collect()}
+    # purity: within each planted cluster, the dominant cell covers >= 90%
+    for c in range(K):
+        cells = [assigned[int(i)] for i in ids[clusters == c]]
+        dominant = max(cells.count(x) for x in set(cells))
+        assert dominant / len(cells) >= 0.9, f"cluster {c} split: {set(cells)}"
+
+
+def test_ivf_recall_at_5(spark, planted_vecs):
+    ids, clusters, V = planted()
+    nrm = np.linalg.norm(V, axis=1)
+    cos = np.round((V @ V.T) / (nrm[:, None] * nrm[None, :]), 4)
+
+    got = ann_ivf(spark, "", vectors=planted_vecs)
+    ivf = {}
+    for r in got.collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = []
+    for qi in ids[ids % 50 == 0]:
+        c = cos[qi].copy()
+        c[qi] = -9
+        bf = set(sorted(range(N), key=lambda j: (-c[j], j))[:TOP_K])
+        recalls.append(len(bf & ivf[int(qi)]) / TOP_K)
+    recall = float(np.mean(recalls))
+    assert recall >= 0.9, f"recall@{TOP_K} with nprobe={NPROBE}: {recall}"
