@@ -144,9 +144,22 @@ def apply_precc(
     ColumnPruning on a 170-element graph without the barrier. At scale
     the barrier is also the efficient plan: the PREC-0 encoding is
     computed once, not once per downstream self-join.
+
+    The barrier repartitions to spark.sql.shuffle.partitions first: a
+    union-of-N-branches otherwise carries N x input partitions through
+    the checkpoint, and every downstream stage then launches hundreds
+    of concurrent tasks whose sort-page allocations livelock a small
+    executor heap (observed on 4 GiB with ~240 inherited partitions).
     """
-    quads = quads.localCheckpoint(eager=True)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    quads = quads.repartition(n_parts).localCheckpoint(eager=True)
     q = _apply_bnode_mapping(spark, quads, context.blank_node_mapping)
+    if context.blank_node_mapping:
+        # the mapping rewrite is itself a 5-join pipeline; without a
+        # second barrier every downstream reference to q re-executes it
+        # (observed: ~75 concurrent broadcast exchanges OOM a 4 GiB
+        # heap on a 38k-quad graph)
+        q = q.localCheckpoint(eager=True)
     labels = _labels_df(q)
 
     # node -> collected type-labels (for sourceLabel/destinationLabel and

@@ -360,7 +360,12 @@ def prec0_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREC-0 quads -> prec0_revert (totality-checked) -> flat PG rows."""
     t = transcripts_df(spark, sf_dir).cache()
     quads = prec0_quads(pg_nodes(t), pg_edges(t))
-    nodes, edges = prec0_revert(spark, quads.localCheckpoint(eager=True))
+    # same stage-boundary shape as apply_precc: collapse the union's
+    # inherited branch-partitions before the plan barrier
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes, edges = prec0_revert(
+        spark, quads.repartition(n_parts).localCheckpoint(eager=True)
+    )
     return _flatten_pg(nodes, edges, True)
 
 

@@ -44,6 +44,14 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # single-JVM mode shares one small heap between driver and all
+        # executor threads; the default (up to 32 MiB) task page size
+        # makes concurrent broadcast/sort stages allocate G1-humongous
+        # regions that livelock GC on a 4 GiB heap (GCLocker retry
+        # storms). 1 MiB pages remove that failure mode locally; real
+        # clusters keep Spark's adaptive default.
+        builder = builder.config("spark.buffer.pageSize", "1m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

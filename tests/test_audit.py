@@ -1,0 +1,56 @@
+"""are_disjoint_types / all_usage_of_are callable operators
+(path-travelling.ts:44-57, dataset/index.ts:217-251 parity)."""
+
+from prec_spark.plans.audit import A, all_usage_of_are, are_disjoint_types
+
+PGO_NODE = "<http://ii.uwb.edu.pl/pgo#Node>"
+PGO_EDGE = "<http://ii.uwb.edu.pl/pgo#Edge>"
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_disjoint_types_true(spark):
+    q = _quads(spark, [("_:a", A, PGO_NODE), ("_:b", A, PGO_EDGE)])
+    assert are_disjoint_types(q, [PGO_NODE, PGO_EDGE])
+
+
+def test_disjoint_types_false(spark):
+    q = _quads(
+        spark,
+        [("_:a", A, PGO_NODE), ("_:a", A, PGO_EDGE), ("_:b", A, PGO_EDGE)],
+    )
+    assert not are_disjoint_types(q, [PGO_NODE, PGO_EDGE])
+
+
+def test_all_usage_authorized(spark):
+    q = _quads(
+        spark,
+        [
+            ("_:e", A, PGO_EDGE),
+            ("_:e", "<http://p>", "_:x"),
+            ("_:other", A, PGO_NODE),
+        ],
+    )
+    out = all_usage_of_are(
+        q, "_:e", [(None, A, PGO_EDGE), ("_:e", "<http://p>", None)]
+    )
+    assert out is not None and out.count() == 2
+
+
+def test_all_usage_unauthorized_returns_none(spark):
+    q = _quads(
+        spark,
+        [("_:e", A, PGO_EDGE), ("_:y", "<http://q>", "_:e")],  # object use not allowed
+    )
+    assert all_usage_of_are(q, "_:e", [(None, A, PGO_EDGE)]) is None
+
+
+def test_all_usage_finds_nested_star_occurrence(spark):
+    q = _quads(
+        spark,
+        [("<< _:e <http://p> _:x >>", A, "<http://T>")],
+    )
+    # nested occurrence present but no authorized pattern covers it
+    assert all_usage_of_are(q, "_:e", [("_:e", None, None)]) is None
