@@ -36,6 +36,11 @@ def _build(master: str, shuffle_partitions: int):
         app_name=f"prec-spark-bench-{master}",
         master=master,
         shuffle_partitions=shuffle_partitions,
+        # tmpfs shuffle dir: this sandbox's /tmp disk serializes shuffle
+        # writes across threads (measured: a 20M-row groupBy runs 0.56x
+        # SLOWER at 32 cores than 8 on disk, 1.07x on tmpfs). A real
+        # cluster has per-node local SSDs; tmpfs stands in for them.
+        extra_conf={"spark.local.dir": "/dev/shm/prec-spark-bench"},
     )
 
 
@@ -56,26 +61,63 @@ def _kg(spark, sf_dir: str, mult: int, cores: int):
             )
             .drop("rep")
         )
-    t = t.repartition(4 * cores).cache()
+    # hash-partition the cache BY conv_id: the NEXT-edge window then
+    # reuses the cached partitioning (no exchange inside the timed
+    # job). Conversations are uniform-sized, so the distribution is
+    # even without salting.
+    t = t.repartition(4 * cores, "conv_id").cache()
     t.count()
     return flagship_triples(spark, sf_dir, transcripts=t).unionByName(
         entity_triples(spark, sf_dir, t)
     )
 
 
-def _cpu_ceiling(cores: int) -> float:
-    """Machine parallel-compute ceiling probe: md5 fold over 20M rows."""
+def _ceiling_probes(cores: int) -> dict[str, float]:
+    """Machine parallel-scaling ceiling probes, one per workload class.
+
+    Each timing builds a FRESH query (collect() on a reused Dataset
+    replays its already-materialized AQE stages and measures nothing —
+    the round-1 probe had that bug). Three classes:
+    * alu    — md5 fold: pure compute, the optimistic ceiling
+    * string — triple-shaped concat + regexp over generated strings:
+               the representative ceiling for KG materialization
+    * shuffle — groupBy over 20M strings: local-mode shuffles are
+               known to ANTI-scale on this host (measured 0.56x at
+               32 vs 8 cores on disk); reported for transparency
+    """
     from pyspark.sql import functions as F
 
-    spark = _build(f"local[{cores}]", cores)
-    df = spark.range(20_000_000, numPartitions=cores * 8)
-    expr = F.avg(F.length(F.md5(F.concat(F.lit("x"), F.col("id").cast("string")))))
-    df.select(expr).collect()
-    t0 = time.time()
-    df.select(expr).collect()
-    dt = time.time() - t0
+    spark = _build(f"local[{cores}]", 2 * cores)
+
+    def make(probe):
+        df = spark.range(20_000_000, numPartitions=cores * 8)
+        if probe == "alu":
+            return df.select(
+                F.avg(F.length(F.md5(F.concat(F.lit("x"), F.col("id").cast("string")))))
+            )
+        if probe == "string":
+            s = F.concat(
+                F.lit("<http://www.example.org/vocab/node/property/text/Turn-assistant/"),
+                F.col("id").cast("string"), F.lit("> told <"),
+                (F.col("id") % 97).cast("string"), F.lit("> about part "),
+                F.md5(F.col("id").cast("string")),
+            )
+            return df.select(F.avg(F.length(F.regexp_replace(s, "a", "b"))))
+        s = F.concat(F.lit("p-"), F.col("id").cast("string"), F.lit("-"),
+                     F.md5(F.col("id").cast("string")))
+        return df.select(s.alias("s")).groupBy(F.crc32(F.col("s")) % 4096).count()
+
+    out = {}
+    for probe in ("alu", "string", "shuffle"):
+        make(probe).collect()  # warm (JIT)
+        best = 1e18
+        for _ in range(2):
+            t0 = time.time()
+            make(probe).collect()
+            best = min(best, time.time() - t0)
+        out[probe] = best
     spark.stop()
-    return dt
+    return out
 
 
 def scaling_run(cores: int, sf_dir: str, mult: int, reps: int):
@@ -114,14 +156,22 @@ def main():
         eff = (
             results["4N"]["triples_per_sec"] / results["N"]["triples_per_sec"]
         ) / (results["4N"]["cores"] / results["N"]["cores"])
-        ceil_lo, ceil_hi = _cpu_ceiling(lo), _cpu_ceiling(cpus)
-        ceiling = (ceil_lo / ceil_hi) / (cpus / lo)
+        probes_lo, probes_hi = _ceiling_probes(lo), _ceiling_probes(cpus)
+        ratio = cpus / lo
+        ceilings = {
+            k: round((probes_lo[k] / probes_hi[k]) / ratio, 3) for k in probes_lo
+        }
+        # the representative ceiling for this engine's hot path (string
+        # materialization); alu is the optimistic bound, shuffle the
+        # pessimistic one — all three are reported
+        ceiling = ceilings["string"]
         print(
             json.dumps(
                 {
                     "scaling": results,
                     "efficiency": round(eff, 3),
-                    "machine_parallel_ceiling": round(ceiling, 3),
+                    "machine_parallel_ceilings": ceilings,
+                    "machine_parallel_ceiling": ceiling,
                     "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
                     "input_multiplier": mult,
                     "sf": sf,
@@ -139,9 +189,15 @@ def main():
         "mentions", "entity_links", "canonical_entities", "kg_triples",
         "prec0_triples", "dedup_minhash", "ann_bruteforce", "text_stats",
     ]
+    # correctness-gate-only queries excluded from the per-round bench:
+    # the roundtrips re-run PREC-0 reversion / PREC-C application over
+    # the full 9M-quad expansion at sf0.1 — they are verified at sf0.01
+    # by the driver's oracle gate, and benching them would double the
+    # round wall without measuring a new hot path.
+    skip = {"prsc_roundtrip", "prec0_roundtrip", "precc_triples"}
     timings: dict[str, float] = {}
     n_triples = 0
-    for name in headline + [k for k in q if k not in headline]:
+    for name in headline + [k for k in q if k not in headline and k not in skip]:
         fn = q.get(name)
         if fn is None:
             continue

@@ -172,18 +172,30 @@ def entity_triples(
 ) -> DataFrame:
     """Materialize mention/entity triples.
 
-    The mention triples dedup on the narrow (conv, turn, mention) key
-    BEFORE string building; the entity typing/name triples come from
-    the tiny distinct-mention dimension — the expensive full-triple
-    string dedup never happens."""
-    links = entity_links(spark, sf_dir, transcripts)
+    The mention triples are unique BY CONSTRUCTION: the per-turn
+    mention array is array_distinct'ed before the explode, and
+    (conv_id, turn_idx) is unique in transcripts — so the
+    (conv, turn, mention) dedup needs NO shuffle at all (it used to be
+    the job's largest exchange). The entity typing/name triples come
+    from the tiny distinct-mention dimension — the expensive
+    full-triple string dedup never happens."""
+    t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir)
+    ments = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(find_mentions_udf()(F.col("text")))
+        ).alias("mention"),
+    )
+    e = entities_df(spark)
+    links = ments.join(F.broadcast(e), ments["mention"] == e["entity_name"], "inner")
     turn_bn = F.concat(
         F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col("turn_idx").cast("string")
     )
     ent_bn = F.concat(F.lit("_:entity_"), F.col("mention"))
     a = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
-    mention_t = links.dropDuplicates(["conv_id", "turn_idx", "mention"]).select(
+    mention_t = links.select(
         turn_bn.alias("s"), F.lit(f"<{EX}mentions>").alias("p"), ent_bn.alias("o")
     )
     ents = links.select("mention").distinct()
