@@ -24,6 +24,8 @@ from .text.mentions import (
     entity_links_oracle_sql,
     entity_triples,
     entity_triples_oracle_sql,
+    fuzzy_links,
+    fuzzy_links_oracle_sql,
     mentions_df,
     mentions_oracle_sql,
 )
@@ -47,6 +49,8 @@ from .dedup import (
     dedup_ngram_oracle_sql,
     dedup_simhash_groups,
     dedup_simhash_oracle_sql,
+    dedup_simhash_hamming,
+    dedup_simhash_hamming_oracle_sql,
     embedding_neardup,
     embedding_neardup_oracle_sql,
 )
@@ -283,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prec0_roundtrip": prec0_roundtrip,
         "mentions": mentions_df,
         "entity_links": entity_links,
+        "fuzzy_links": fuzzy_links,
         "canonical_entities": canonical_entities,
         "entity_triples": entity_triples,
         "kg_triples": _kg_triples,
@@ -294,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash_groups,
+        "dedup_simhash_hamming": dedup_simhash_hamming,
         "embedding_neardup": embedding_neardup,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf": ann_ivf,
@@ -313,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "prec0_roundtrip": prec0_roundtrip_oracle_sql(),
         "mentions": mentions_oracle_sql(),
         "entity_links": entity_links_oracle_sql(),
+        "fuzzy_links": fuzzy_links_oracle_sql(),
         "canonical_entities": canonical_entities_oracle_sql(),
         "entity_triples": entity_triples_oracle_sql(),
         "kg_triples": _kg_triples_oracle(),
@@ -324,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup_minhash_oracle_sql(),
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),
         "dedup_simhash": dedup_simhash_oracle_sql(),
+        "dedup_simhash_hamming": dedup_simhash_hamming_oracle_sql(),
         "embedding_neardup": embedding_neardup_oracle_sql(),
         "ann_bruteforce": ann_bruteforce_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from ..transcripts import ENTITIES, transcripts_df, transcripts_oracle_sql
 
@@ -34,6 +35,9 @@ EX = "http://example.org/transcripts/"
 
 #: salt buckets for the canonicalization groupBy (hot-key mitigation)
 N_SALTS = 16
+
+#: minimum fuzzy-link similarity to emit a link
+MIN_SCORE = 0.5
 
 
 def find_mentions_udf():
@@ -114,6 +118,80 @@ SELECT conv_id, turn_idx, mention,
        CASE mention {cases} END AS entity_id,
        CAST(1.0 AS DOUBLE) AS score
 FROM m
+"""
+
+
+def fuzzy_links(
+    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+) -> DataFrame:
+    """Fuzzy surface-form entity linking (non-degenerate similarity).
+
+    Surfaces are deterministically perturbed mentions (every third turn
+    abbreviates to the 3-char prefix — 'Bid' for 'Biden'), so the
+    matcher must actually rank by edit-distance similarity instead of
+    relying on dictionary equality. Score = 1 - lev/maxlen; the best
+    (score, entity_id) candidate wins per surface occurrence group;
+    candidates below MIN_SCORE are dropped (unlinkable).
+
+    Scale shape: the dictionary is broadcast (tiny here); a 100 TB
+    dictionary would add a blocking key (prefix / phonetic bucket) to
+    the join instead of the cross product — the verify-then-rank
+    structure is unchanged.
+    """
+    m = mentions_df(spark, sf_dir, transcripts)
+    surfaces = m.withColumn(
+        "surface",
+        F.when(F.col("turn_idx") % 3 == 0, F.substring("mention", 1, 3)).otherwise(
+            F.col("mention")
+        ),
+    ).groupBy("conv_id", "turn_idx", "surface").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    e = entities_df(spark)
+    scored = surfaces.join(F.broadcast(e)).withColumn(
+        "score",
+        F.round(
+            1.0
+            - F.levenshtein(F.lower("surface"), F.lower("entity_name"))
+            / F.greatest(F.length("surface"), F.length("entity_name")),
+            4,
+        ),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
+        F.col("score").desc(), F.col("entity_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= MIN_SCORE))
+        .select(
+            "conv_id", "turn_idx", "surface", "n_occurrences", "entity_id", "score"
+        )
+    )
+
+
+def fuzzy_links_oracle_sql() -> str:
+    names = ", ".join(f"({i}, '{n}')" for i, n in enumerate(ENTITIES))
+    return f"""
+WITH m AS ({mentions_oracle_sql()}),
+surfaces AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 3 = 0 THEN substr(mention, 1, 3) ELSE mention END AS surface,
+         count(*) AS n_occurrences
+  FROM m GROUP BY 1, 2, 3
+), e(entity_id, entity_name) AS (VALUES {names}),
+scored AS (
+  SELECT s.*, e.entity_id,
+         round(1.0 - levenshtein(lower(s.surface), lower(e.entity_name))
+               / greatest(length(s.surface), length(e.entity_name)), 4) AS score
+  FROM surfaces s CROSS JOIN e
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, surface
+      ORDER BY score DESC, entity_id ASC) AS rn
+  FROM scored
+)
+SELECT conv_id, turn_idx, surface, n_occurrences, entity_id, score
+FROM ranked WHERE rn = 1 AND score >= {MIN_SCORE}
 """
 
 
