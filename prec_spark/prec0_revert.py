@@ -38,6 +38,18 @@ def prec0_revert(
     prec = f"<{PREC_NS}%s>"
     rdfv = f"<{RDF_NS}value>"
 
+    if strict:
+        # precondition: the four PREC-0 element types must be disjoint
+        # (prec-0-reversion.ts:104-106)
+        from .plans.audit import are_disjoint_types
+
+        if not are_disjoint_types(
+            q, [PGO_NODE, PGO_EDGE, prec % "PropertyKey", prec % "PropertyKeyValue"]
+        ):
+            raise Prec0ReversionError(
+                "The detected types are not disjoint: this is not a PREC-0 graph"
+            )
+
     node_ids = q.filter((F.col("p") == RDF_TYPE) & (F.col("o") == PGO_NODE)).select(
         F.col("s").alias("node_id")
     )

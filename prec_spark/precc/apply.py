@@ -55,6 +55,9 @@ PGO_EDGE = f"<{PGO_NS}Edge>"
 PREC_PROP_KEY = f"<{PREC_NS}PropertyKey>"
 PREC_PROP_KEY_VALUE = f"<{PREC_NS}PropertyKeyValue>"
 
+#: maximum meta-property nesting depth resolved by deepResolve
+_MAX_META_DEPTH = 3
+
 # placeholder names
 EDGE_MAP = {
     pvar("edge"): "EDGE",
@@ -618,22 +621,41 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
     base_inst = inst.filter(F.col("holder_base") != "meta")
     produced = produce(base_inst)
 
-    # level 1: META-properties — the holder is itself a property node;
-    # deepResolve it to the parent property's selfIs instantiation(s)
-    # (rules-for-properties.ts:361-386; one meta level, as exercised by
-    # the reference corpus).
-    meta_raw = inst.filter(F.col("holder_base") == "meta")
-    if not meta_raw.isEmpty():
-        prop_selves = selves_of(base_inst)
-        meta_raw = meta_raw.drop("holder_resolved", "resolved_self")
-        meta = (
-            meta_raw.join(
-                prop_selves, meta_raw["holder"] == prop_selves["holder_key"], "inner"
+    # META-properties — the holder is itself a property node; deepResolve
+    # it through the parent property's selfIs instantiation(s)
+    # (rules-for-properties.ts:361-386). The reference recurses, so
+    # meta-of-meta chains resolve too: each round resolves the
+    # unresolved holders against the previous level's selves and feeds
+    # the newly-resolved instances' selves to the next round. Depth is
+    # bounded by _MAX_META_DEPTH (the reference corpus uses 1; real
+    # TinkerPop data cannot exceed 1 either — deeper graphs only arise
+    # from hand-written PREC-0 Turtle).
+    unresolved = inst.filter(F.col("holder_base") == "meta").drop(
+        "holder_resolved", "resolved_self"
+    )
+    if not unresolved.isEmpty():
+        level_selves = selves_of(base_inst)
+        for _ in range(_MAX_META_DEPTH):
+            resolved_now = (
+                unresolved.join(
+                    level_selves,
+                    unresolved["holder"] == level_selves["holder_key"],
+                    "inner",
+                )
+                .withColumnRenamed("resolved_self", "holder_resolved")
+                .drop("holder_key")
             )
-            .withColumnRenamed("resolved_self", "holder_resolved")
-            .drop("holder_key")
-        )
-        produced = produced.unionByName(produce(meta))
+            if resolved_now.isEmpty():
+                break
+            produced = produced.unionByName(produce(resolved_now))
+            unresolved = unresolved.join(
+                level_selves.select(F.col("holder_key").alias("holder")),
+                "holder",
+                "leftanti",
+            )
+            if unresolved.isEmpty():
+                break
+            level_selves = selves_of(resolved_now)
 
     # preserved property-key IRIs (usedProperties in the reference)
     preserved = (

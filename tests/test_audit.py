@@ -54,3 +54,18 @@ def test_all_usage_finds_nested_star_occurrence(spark):
     )
     # nested occurrence present but no authorized pattern covers it
     assert all_usage_of_are(q, "_:e", [("_:e", None, None)]) is None
+
+
+def test_prec0_revert_disjointness_precondition(spark):
+    """prec0_revert must refuse a graph where an element is both a
+    node and an edge (prec-0-reversion.ts:104-106 parity)."""
+    import pytest
+
+    from prec_spark.prec0_revert import Prec0ReversionError, prec0_revert
+
+    q = _quads(
+        spark,
+        [("_:x", A, PGO_NODE), ("_:x", A, PGO_EDGE)],
+    )
+    with pytest.raises(Prec0ReversionError, match="not disjoint"):
+        prec0_revert(spark, q)

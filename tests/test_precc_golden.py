@@ -219,3 +219,30 @@ def test_anndan_precc_end_to_end(spark):
             rdf:type <https://example.org/likes> .
     """)
     assert isomorphic(out, expected)
+
+
+DEEP_META_GRAPH = """
+_:n a pgo:Node .
+:p1 rdfs:label "p1" ; a prec:PropertyKey .
+_:n :p1 _:pv1 . _:pv1 a prec:PropertyKeyValue ; rdf:value "v1" .
+:m1 rdfs:label "m1" ; a prec:PropertyKey .
+_:pv1 :m1 _:pv2 . _:pv2 a prec:PropertyKeyValue ; rdf:value "v2" .
+:m2 rdfs:label "m2" ; a prec:PropertyKey .
+_:pv2 :m2 _:pv3 . _:pv3 a prec:PropertyKeyValue ; rdf:value "v3" .
+"""
+
+DEEP_META_CTX = """
+:M2Rule a prec:PropertyRule ;
+  prec:propertyKey "m2" ;
+  prec:templatedBy prec:DirectTriples .
+"""
+
+
+def test_meta_of_meta_deep_resolve(spark):
+    """deepResolve recurses (rules-for-properties.ts:333-386): a
+    meta-meta property (depth 2) must resolve its holder through the
+    parent meta property's self — prior rounds only resolved depth 1."""
+    out = run(spark, DEEP_META_GRAPH, DEEP_META_CTX)
+    assert ("_:pv2", "<http://test/m2>", '"v3"') in out
+    # depth-1 meta property still materializes under the base template
+    assert ("_:pv1", "<http://test/m1>", "_:pv2") in out
