@@ -1,0 +1,176 @@
+"""Incremental KG construction over a transcript STREAM.
+
+The batch flagship (transcripts -> PG -> PRSC triples + entity triples)
+re-expressed for Structured Streaming, per the north-star requirement
+that the engine ingest transcripts continuously:
+
+* every per-turn triple family is STATELESS (typing, text/tool
+  properties, IN/USES edges, conversation/tool vocabulary, mention and
+  entity triples) — plain column expressions + the Arrow mention UDF
+  over `readStream`, appended as they arrive;
+* NEXT edges are the one CROSS-ROW family (turn i -> i+1). They run as
+  a custom stateful operator (`applyInPandasWithState` keyed by
+  conv_id): the state is the set of seen turn indexes per conversation
+  (bounded by conversation length); a batch emits exactly the
+  consecutive pairs that involve a newly-seen index, so pairs split
+  across micro-batches are emitted exactly once.
+
+Conversation/tool vocabulary triples repeat per turn (a streaming
+append sink cannot do a global distinct without complete mode); the
+consumer dedups on read — set semantics over triples make the dedup a
+MERGE/distinct at the sink, the standard lakehouse pattern.
+
+Equivalence oracle: distinct streamed triples == the batch
+flagship ∪ entity triples on the same input (tests/test_streaming_kg).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..flagship import EX
+from ..pg.projection import lit_term_col
+from ..text.mentions import find_mentions_udf
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id STRING, turn_idx INT, role STRING, text STRING, "
+    "tool STRING, ts TIMESTAMP"
+)
+
+A = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+_NEXT_OUT_SCHEMA = "conv_id STRING, src_idx INT, dst_idx INT"
+_NEXT_STATE_SCHEMA = "seen ARRAY<INT>"
+
+
+def _turn_bn():
+    return F.concat(
+        F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col("turn_idx").cast("string")
+    )
+
+
+def _conv_bn():
+    return F.concat(F.lit("_:conv_"), F.col("conv_id"))
+
+
+def _tool_bn():
+    return F.concat(F.lit("_:tool_"), F.col("tool"))
+
+
+def stateless_triples(t: DataFrame) -> DataFrame:
+    """All per-turn-derivable triple families; works identically on a
+    static or a streaming DataFrame (no joins, no windows, no state)."""
+    ex = lambda n: F.lit(f"<{EX}{n}>")  # noqa: E731
+    turn, conv, tool = _turn_bn(), _conv_bn(), _tool_bn()
+    has_tool = F.col("tool").isNotNull()
+
+    def tri(cond, s, p, o):
+        d = t.filter(cond) if cond is not None else t
+        return d.select(s.alias("s"), p.alias("p"), o.alias("o"))
+
+    parts = [
+        # turn typing (PRSC node rules)
+        tri(F.col("role") == "user", turn, F.lit(A), ex("UserTurn")),
+        tri(F.col("role") != "user", turn, F.lit(A), ex("AssistantTurn")),
+        tri(has_tool, turn, F.lit(A), ex("ToolCallTurn")),
+        # properties
+        tri(None, turn, ex("text"), lit_term_col(F.col("text"))),
+        tri(has_tool, turn, ex("toolName"), lit_term_col(F.col("tool"))),
+        # conversation / tool vocabulary (repeats per turn; sink dedups)
+        tri(None, conv, F.lit(A), ex("Conversation")),
+        tri(None, conv, ex("convId"), lit_term_col(F.col("conv_id"))),
+        tri(has_tool, tool, F.lit(A), ex("Tool")),
+        tri(has_tool, tool, ex("name"), lit_term_col(F.col("tool"))),
+        # IN / USES edges (edge-unique templates: src -> dst directly)
+        tri(None, turn, ex("inConversation"), conv),
+        tri(has_tool, turn, ex("usesTool"), tool),
+    ]
+    # mention + entity triples (Arrow UDF, stateless)
+    m = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.array_distinct(find_mentions_udf()(F.col("text")))).alias(
+            "mention"
+        ),
+    )
+    ent = F.concat(F.lit("_:entity_"), F.col("mention"))
+    parts += [
+        m.select(_turn_bn().alias("s"), ex("mentions").alias("p"), ent.alias("o")),
+        m.select(ent.alias("s"), F.lit(A).alias("p"), ex("Entity").alias("o")),
+        m.select(
+            ent.alias("s"),
+            ex("name").alias("p"),
+            F.concat(F.lit('"'), F.col("mention"), F.lit('"')).alias("o"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _next_edges_group(key, pdfs, state: GroupState):
+    """Emit NEXT pairs exactly once across micro-batches: a pair
+    (i, i+1) is emitted when it involves an index not seen before."""
+    (conv_id,) = key
+    prev: set[int] = set(state.get[0]) if state.exists else set()
+    new: set[int] = set()
+    for pdf in pdfs:
+        new.update(int(x) for x in pdf["turn_idx"].tolist())
+    new -= prev
+    all_seen = sorted(prev | new)
+    rows = [
+        (conv_id, i, j)
+        for i, j in zip(all_seen, all_seen[1:])
+        if j == i + 1 and (i in new or j in new)
+    ]
+    state.update((list(all_seen),))
+    yield pd.DataFrame(rows, columns=["conv_id", "src_idx", "dst_idx"])
+
+
+def next_edge_triples_stream(t: DataFrame) -> DataFrame:
+    pairs = (
+        t.withWatermark("ts", "2 hours")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _next_edges_group,
+            outputStructType=_NEXT_OUT_SCHEMA,
+            stateStructType=_NEXT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    bn = lambda c: F.concat(  # noqa: E731
+        F.lit("_:turn_"), F.col("conv_id"), F.lit("_"), F.col(c).cast("string")
+    )
+    return pairs.select(
+        bn("src_idx").alias("s"),
+        F.lit(f"<{EX}next>").alias("p"),
+        bn("dst_idx").alias("o"),
+    )
+
+
+def kg_stream(
+    spark: SparkSession, src_dir: str, name: str = "kg_stream_triples",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream transcript parquet files from `src_dir` into triples
+    (memory sink for tests; a real deployment writes parquet/Iceberg
+    with a MERGE-on-read dedup)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+    triples = stateless_triples(stream).unionByName(next_edge_triples_stream(stream))
+    q = (
+        triples.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
