@@ -122,8 +122,10 @@ def apply_context(
     edges: DataFrame,
     context_quads: list[Quad],
     strict: bool = True,
+    meta: DataFrame | None = None,
 ) -> DataFrame:
-    """PG (nodes/edges DataFrames) + context -> triples (s, p, o)."""
+    """PG (nodes/edges DataFrames, optional TinkerPop meta-property side
+    table) + context -> triples (s, p, o)."""
     check_obsolete_terms(context_quads)
     kind = context_type(context_quads)
     if kind == "invalid":
@@ -135,11 +137,13 @@ def apply_context(
             bad = quarantine.limit(3).collect()
             raise ValueError(f"elements without a matching PRSC rule: {bad}")
         return triples
-    quads = prec0_quads(nodes, edges)
+    quads = prec0_quads(nodes, edges, meta=meta)
     if kind == "empty":
         return quads
     return apply_precc(spark, quads, PreccContext(context_quads))
 
 
-def apply_context_turtle(spark, nodes, edges, context_ttl: str, strict: bool = True):
-    return apply_context(spark, nodes, edges, parse_turtle(context_ttl), strict)
+def apply_context_turtle(
+    spark, nodes, edges, context_ttl: str, strict: bool = True, meta=None
+):
+    return apply_context(spark, nodes, edges, parse_turtle(context_ttl), strict, meta)

@@ -70,10 +70,25 @@ def _triples(df: DataFrame, s: Column, p: Column, o: Column) -> DataFrame:
 
 
 def prec0_quads(
-    nodes: DataFrame, edges: DataFrame, vocab: str = DEFAULT_VOCAB
+    nodes: DataFrame,
+    edges: DataFrame,
+    vocab: str = DEFAULT_VOCAB,
+    meta: DataFrame | None = None,
 ) -> DataFrame:
-    """PG -> PREC-0 triples (s, p, o term strings; set semantics)."""
+    """PG -> PREC-0 triples (s, p, o term strings; set semantics).
+
+    `meta` (optional) carries TinkerPop meta-properties as a side table
+    (holder_id, key, value_pos, meta map<string,array<string>>): each
+    row attaches the meta map to the value node of property `key` /
+    occurrence `value_pos` on `holder_id`. Meta properties reuse the
+    SAME property machinery with the property-value node as holder and
+    the ELEMENT's label tag in the meta-key IRI (graph-builder.ts
+    388-407 intent; the reference's own meta output is untested — its
+    prec-0.test.ts marks it TODO — so we implement the documented
+    encoding: propval --metaKeyIRI--> metaval, metaval a
+    prec:PropertyKeyValue ; rdf:value v)."""
     parts: list[DataFrame] = []
+    key_dims: list[DataFrame] = []
     prec = f"<{PREC_NS}%s>"
 
     # ---- nodes ------------------------------------------------------
@@ -100,7 +115,9 @@ def prec0_quads(
     node_props = n.select(
         F.col("node_id").alias("holder_id"), F.col("labels"), F.col("properties")
     )
-    parts.extend(_property_quads(node_props, vocab + "node/property/", prec))
+    np_parts, np_dim = _property_quads(node_props, vocab + "node/property/", prec)
+    parts.extend(np_parts)
+    key_dims.append(np_dim)
 
     # ---- edges ------------------------------------------------------
     e = edges
@@ -127,7 +144,50 @@ def prec0_quads(
         F.array(F.col("label")).alias("labels"),
         F.col("properties"),
     )
-    parts.extend(_property_quads(edge_props, vocab + "edge/property/", prec))
+    ep_parts, ep_dim = _property_quads(edge_props, vocab + "edge/property/", prec)
+    parts.extend(ep_parts)
+    key_dims.append(ep_dim)
+
+    # ---- meta-properties (property-on-property) ----------------------
+    if meta is not None:
+        for kind, holders in (
+            ("node", nodes.select(F.col("node_id").alias("hid"), "labels")),
+            (
+                "edge",
+                edges.select(
+                    F.col("edge_id").alias("hid"), F.array("label").alias("labels")
+                ),
+            ),
+        ):
+            mh = meta.join(holders, meta["holder_id"] == holders["hid"], "inner").select(
+                F.concat(
+                    F.lit("propval_"),
+                    sanitize_id_col(F.col("holder_id")),
+                    F.lit("_"),
+                    F.col("key"),
+                    F.lit("_"),
+                    F.col("value_pos").cast("string"),
+                ).alias("holder_id"),
+                F.col("labels"),
+                F.col("meta").alias("properties"),
+            )
+            mp_parts, mp_dim = _property_quads(mh, vocab + f"{kind}/property/", prec)
+            parts.extend(mp_parts)
+            key_dims.append(mp_dim)
+
+    # exactly ONE CreatedPropertyKey subclass singleton across all
+    # property families (set semantics without a global dedup)
+    all_dims = key_dims[0]
+    for kd in key_dims[1:]:
+        all_dims = all_dims.unionByName(kd)
+    parts.append(
+        _triples(
+            all_dims.limit(1),
+            F.lit(prec % "CreatedPropertyKey"),
+            F.lit(RDFS_SUBCLASSOF),
+            F.lit(prec % "CreatedVocabulary"),
+        )
+    )
 
     out = parts[0]
     for p_df in parts[1:]:
@@ -135,12 +195,17 @@ def prec0_quads(
     return out
 
 
-def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFrame]:
-    """Property quads for one holder kind.
+def _property_quads(
+    holders: DataFrame, prop_ns: str, prec: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Property quads for one holder kind -> (parts, key_dim).
 
     holders: (holder_id, labels, properties map<string,array<string>>).
     Multi-element arrays = multi-valued properties (one value node
     each); "( ... )" list-encoded elements = array values (rdf list).
+    The CreatedPropertyKey subclass singleton is NOT emitted here — the
+    caller emits exactly one across all property families (node / edge
+    / meta), keeping the union duplicate-free by construction.
     """
     props = (
         holders.select(
@@ -181,12 +246,6 @@ def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFra
         _triples(key_dim, key_dim_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
         _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
         _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
-        _triples(
-            key_dim.limit(1),
-            F.lit(prec % "CreatedPropertyKey"),
-            F.lit(RDFS_SUBCLASSOF),
-            F.lit(prec % "CreatedVocabulary"),
-        ),
         # scalar values: (_:pv, rdf:value, literal)
         _triples(
             props.filter(~F.col("is_list")),
@@ -236,4 +295,4 @@ def _property_quads(holders: DataFrame, prop_ns: str, prec: str) -> list[DataFra
             ),
         ]
     )
-    return out
+    return out, key_dim

@@ -44,13 +44,19 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if master.startswith("local"):
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
+    small_heap = driver_mem.lower().rstrip("gb").isdigit() and int(
+        driver_mem.lower().rstrip("gb")
+    ) <= 4
+    if master.startswith("local") and small_heap:
         # single-JVM mode shares one small heap between driver and all
         # executor threads; the default (up to 32 MiB) task page size
         # makes concurrent broadcast/sort stages allocate G1-humongous
-        # regions that livelock GC on a 4 GiB heap (GCLocker retry
-        # storms). 1 MiB pages remove that failure mode locally; real
-        # clusters keep Spark's adaptive default.
+        # regions that livelock GC on a <=4 GiB heap (GCLocker retry
+        # storms). 1 MiB pages remove that failure mode; bigger heaps
+        # keep Spark's adaptive default (large pages sort faster).
         builder = builder.config("spark.buffer.pageSize", "1m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
