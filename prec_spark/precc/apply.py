@@ -656,6 +656,16 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
             if unresolved.isEmpty():
                 break
             level_selves = selves_of(resolved_now)
+        # a meta property whose holder never resolves (orphaned value
+        # node, or nesting beyond _MAX_META_DEPTH) is an error, not a
+        # silent drop — the reference's recursive deepResolve has no
+        # base case for it either (rules-for-properties.ts:333-386)
+        if not unresolved.isEmpty():
+            bad = [r.holder for r in unresolved.select("holder").limit(3).collect()]
+            raise ValueError(
+                f"meta properties with unresolvable holders (orphaned or "
+                f"nested beyond depth {_MAX_META_DEPTH}): {bad}"
+            )
 
     # preserved property-key IRIs (usedProperties in the reference)
     preserved = (

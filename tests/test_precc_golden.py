@@ -246,3 +246,20 @@ def test_meta_of_meta_deep_resolve(spark):
     assert ("_:pv2", "<http://test/m2>", '"v3"') in out
     # depth-1 meta property still materializes under the base template
     assert ("_:pv1", "<http://test/m1>", "_:pv2") in out
+
+
+ORPHAN_META_GRAPH = """
+_:n a pgo:Node .
+:m1 rdfs:label "m1" ; a prec:PropertyKey .
+_:dangling :m1 _:pv . _:pv a prec:PropertyKeyValue ; rdf:value "v" .
+"""
+
+
+def test_orphaned_meta_property_raises(spark):
+    """A meta property whose holder is not a node, an edge, or any
+    property's value node cannot deep-resolve — hard error, not a
+    silent drop."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unresolvable holders"):
+        run(spark, ORPHAN_META_GRAPH, DEEP_META_CTX)
