@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .contexts.model import PRSCCatalog
 from .prec0 import prec0_quads
 from .precc.apply import apply_precc
-from .precc.context import PreccContext, _SYNONYMS, prec
+from .precc.context import PreccContext, prec
 from .prsc.apply import apply_prsc
 from .rdf.terms import Literal, NamedNode, Quad, Term
 from .rdf.turtle import parse_turtle

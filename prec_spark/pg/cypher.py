@@ -12,7 +12,6 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..rdf.terms import encode_literal
 from .apoc import EDGES_SCHEMA, NODES_SCHEMA, _encode_props
 
 

@@ -28,7 +28,7 @@ from .contexts.model import PRSCCatalog
 from .flagship import TRANSCRIPT_CONTEXT
 from .pg.projection import pg_edges, pg_nodes
 from .prsc.apply import apply_prsc
-from .text.mentions import canonical_entities, entity_links, entity_triples, mentions_df
+from .text.mentions import canonical_entities, entity_links, entity_triples
 from .transcripts import transcripts_df
 
 

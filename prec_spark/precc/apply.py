@@ -29,17 +29,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.patterns import compile_term, placeholder, substitute
-from ..rdf.terms import PGO_NS, PREC_NS, RDF_NS, RDFS_NS, Quad, Term
-from .context import (
-    EDGE_DOMAIN,
-    NODE_LABEL_DOMAIN,
-    PROPERTY_DOMAIN,
-    DomainCatalog,
-    PreccContext,
-    Template,
-    prec,
-    pvar,
-)
+from ..rdf.terms import PGO_NS, PREC_NS, RDF_NS, RDFS_NS, Term
+from .context import PreccContext, Template, prec, pvar
 
 A = f"<{RDF_NS}type>"
 RDF_SUBJECT = f"<{RDF_NS}subject>"

@@ -42,7 +42,7 @@ from ..rdf.terms import (
     Term,
 )
 from ..rdf.turtle import parse_turtle
-from ..contexts.model import map_terms, walk_terms, contains_term
+from ..contexts.model import map_terms
 
 prec = lambda s: NamedNode(PREC_NS + s)  # noqa: E731
 pvar = lambda s: NamedNode(PVAR_NS + s)  # noqa: E731

@@ -36,14 +36,13 @@ from pyspark.sql import functions as F
 
 from ..contexts.model import (
     PRSCCatalog,
-    PRSCRule,
     PVAR_DESTINATION,
     PVAR_SOURCE,
     PREC_VALUE_OF,
     SELF_TERMS,
 )
 from ..pg.projection import sanitize_id_col
-from ..rdf.terms import BlankNode, Literal, NamedNode, Quad, Term
+from ..rdf.terms import BlankNode, Literal, Quad, Term
 
 # NUL-delimited placeholders — NUL never appears in term-encoded data.
 PH_SELF = "\x00SELF\x00"

@@ -33,15 +33,13 @@ from pyspark.sql import functions as F
 
 from ..contexts.model import (
     PRSCCatalog,
-    PRSCRule,
     PVAR_DESTINATION,
     PVAR_SOURCE,
     PREC_VALUE_OF,
     SELF_TERMS,
     characterize_triple,
-    walk_terms,
 )
-from ..rdf.terms import BlankNode, Literal, NamedNode, Quad, Term
+from ..rdf.terms import BlankNode, Literal, Quad, Term
 
 #: regexes over canonical term strings (Java regex, used JVM-side)
 LITERAL_RE = r'"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9\-]+)?'
