@@ -70,3 +70,20 @@ def test_minhash_verification_is_candidate_driven(spark, sf_dir):
     for line in plan.splitlines():
         if "Join" in line and "shingle" in line:
             assert "doc_" in line, f"shingle-only join: {line}"
+
+
+def test_precc_composition_plan_stays_bounded(spark, sf_dir):
+    """Regression guard for the round-1 Catalyst plan explosion: the
+    PREC-0 -> PREC-C composition must stay behind its plan barriers.
+    Without them the optimized plan grows exponentially (driver OOM in
+    ColumnPruning on a 170-element graph); with them it is ~500 lines.
+    3x headroom on the measured size."""
+    from prec_spark.precc_flagship import precc_transcript_triples
+
+    df = precc_transcript_triples(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_lines = len(plan.splitlines())
+    assert n_lines < 1500, f"PREC-C plan exploded: {n_lines} nodes"
+    # the barrier is visible: the quad input is a materialized scan,
+    # not a re-expanded union lineage
+    assert "LogicalRDD" in plan
