@@ -195,7 +195,14 @@ def main():
     # by the driver's oracle gate, and benching them would double the
     # round wall without measuring a new hot path.
     skip = {"prsc_roundtrip", "prec0_roundtrip", "precc_triples"}
+    # cold = first run in this session (JIT + codegen + python-worker
+    # spinup included); warm_best = best of WARM_REPS further runs —
+    # the steady-state number comparable across rounds on this +-40%
+    # noisy shared host (the round-2 cold-single-shot headline looked
+    # like a 1.45x regression that controlled warm runs contradicted).
+    warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "2"))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     n_triples = 0
     for name in headline + [k for k in q if k not in headline and k not in skip]:
         fn = q.get(name)
@@ -203,7 +210,13 @@ def main():
             continue
         t0 = time.time()
         cnt = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        best = cold[name]
+        for _ in range(warm_reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         if name == "kg_triples":
             n_triples = cnt
     kg_sec = timings.get("kg_triples", 0.0) or 1e-9
@@ -214,6 +227,8 @@ def main():
                 "value": round(kg_sec, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "warm_reps": warm_reps,
                 "sf": sf,
                 "triples": n_triples,
                 "triples_per_sec": round(n_triples / kg_sec, 1),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import ensure_parallelism, load_table
 
 # Calibrated to the synthetic embeddings tables: same-bucket cosine
 # maxes out near 0.51 there, so a production-style 0.95 threshold made
@@ -38,7 +38,9 @@ def norm_col(a: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # the per-vector double math below is CPU-dense and the sandbox
+    # parquet is one unsplittable row group — parallelize the scan
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id", "label", v.alias("v"), norm_col(v).alias("nrm")

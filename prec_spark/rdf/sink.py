@@ -45,26 +45,41 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite"):
     ntriples_lines(triples).write.mode(mode).text(path)
 
 
-def _compress(col: Column, prefixes: dict[str, str]) -> Column:
-    """Rewrite <ns+local> IRIs to pfx:local inside a term string.
+#: a quoted literal body with escaped chars (same shape as the
+#: LITERAL_RE tokenizer in prsc/revert.py) — matches the full span so
+#: nothing inside the quotes is visible to the prefix rewriter
+_LIT_RE = r'"(?:[^"\\]|\\.)*"'
+#: placeholder for masked literal spans (never appears in term
+#: strings: control chars in literal content are \u-escaped upstream)
+_MASK = "\x01"
 
-    Guarded: plain literal cells (leading '\"') are left untouched so
-    literal content can never be rewritten. (Inside nested RDF-star
-    strings the rewrite applies to the whole term string; a literal
-    embedded there whose CONTENT spells out a full `<ns...>` IRI would
-    be abbreviated too — acceptable for an output format, and our
-    encoders never produce such literals.)"""
-    out = col
-    lit = col
+
+def _compress(col: Column, prefixes: dict[str, str]) -> Column:
+    """Rewrite <ns+local> IRIs to pfx:local inside a term string,
+    WITHOUT ever touching literal content.
+
+    Literal content is arbitrary user text (transcript/property
+    values) and may spell out things like '<http://bruy.at/prec#x>';
+    a naive regexp over the whole (possibly nested RDF-star) term
+    string would corrupt it. So: (1) mask every quoted-literal span,
+    (2) prefix-compress the masked string — this also catches
+    ^^<datatype> IRIs, which sit outside the quotes — (3) splice the
+    original literal spans back in order."""
+    lits = F.regexp_extract_all(col, F.lit(_LIT_RE), 0)
+    masked = F.regexp_replace(col, _LIT_RE, _MASK)
     for pfx, ns in prefixes.items():
-        out = F.regexp_replace(
-            out, "<" + re.escape(ns) + _LOCAL + ">", pfx + r":$1"
+        masked = F.regexp_replace(
+            masked, "<" + re.escape(ns) + _LOCAL + ">", pfx + r":$1"
         )
-        # literals: only the end-anchored ^^<datatype> is compressible
-        lit = F.regexp_replace(
-            lit, r"\^\^<" + re.escape(ns) + _LOCAL + ">$", r"^^" + pfx + r":$1"
-        )
-    return F.when(col.startswith('"'), lit).otherwise(out)
+    parts = F.split(masked, _MASK, -1)
+    restored = F.aggregate(
+        F.sequence(F.lit(1), F.size(lits)),
+        F.element_at(parts, 1),
+        lambda acc, i: F.concat(
+            acc, F.element_at(lits, i), F.element_at(parts, i + F.lit(1))
+        ),
+    )
+    return F.when(F.size(lits) == 0, masked).otherwise(restored)
 
 
 def turtle_lines(

@@ -11,6 +11,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: JVM memory-string suffixes, in bytes (plain numbers are bytes)
+_MEM_UNITS = {
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _mem_bytes(mem: str) -> int:
+    """Parse a JVM memory string ('4g', '512m', '4096mb', '1073741824')
+    to bytes; unparseable values count as large (no small-heap tuning)."""
+    m = mem.strip().lower()
+    for suffix in sorted(_MEM_UNITS, key=len, reverse=True):
+        if m.endswith(suffix):
+            digits = m[: -len(suffix)]
+            return int(digits) * _MEM_UNITS[suffix] if digits.isdigit() else 2**63
+    return int(m) if m.isdigit() else 2**63
+
+
 def build_session(
     app_name: str = "prec-spark",
     master: str | None = None,
@@ -47,9 +67,7 @@ def build_session(
     driver_mem = (extra_conf or {}).get(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
-    small_heap = driver_mem.lower().rstrip("gb").isdigit() and int(
-        driver_mem.lower().rstrip("gb")
-    ) <= 4
+    small_heap = _mem_bytes(driver_mem) <= 4 * 1024**3
     if master.startswith("local") and small_heap:
         # single-JVM mode shares one small heap between driver and all
         # executor threads; the default (up to 32 MiB) task page size
@@ -66,3 +84,19 @@ def build_session(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated parquet tables."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ensure_parallelism(df):
+    """Repartition df up to the session's default parallelism IF the
+    scan cannot split (the sandbox parquet files are single-row-group,
+    so every corpus query otherwise runs in ONE task regardless of
+    spark.sql.files.maxPartitionBytes). At cluster scale a 100 TB scan
+    yields >> defaultParallelism splits and this is a no-op — the
+    shuffle only ever happens on inputs small enough for it to be
+    trivially cheap. Use on CPU-dense per-doc operators (fingerprints,
+    shingles, vector math), not on plain scans."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

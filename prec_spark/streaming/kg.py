@@ -45,6 +45,13 @@ A = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 _NEXT_OUT_SCHEMA = "conv_id STRING, src_idx INT, dst_idx INT"
 _NEXT_STATE_SCHEMA = "seen ARRAY<INT>"
 
+#: late-data horizon; per-conversation NEXT state is evicted once the
+#: event-time watermark passes the conversation's last turn by this
+#: much (rows later than that are dropped by the watermark anyway, so
+#: eviction cannot lose pairs)
+WATERMARK = "2 hours"
+_WATERMARK_MS = 2 * 3600 * 1000
+
 
 def _turn_bn():
     return F.concat(
@@ -112,14 +119,40 @@ def stateless_triples(t: DataFrame) -> DataFrame:
     return out
 
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype="object"),
+            "src_idx": pd.Series([], dtype="int64"),
+            "dst_idx": pd.Series([], dtype="int64"),
+        }
+    )
+
+
 def _next_edges_group(key, pdfs, state: GroupState):
     """Emit NEXT pairs exactly once across micro-batches: a pair
-    (i, i+1) is emitted when it involves an index not seen before."""
+    (i, i+1) is emitted when it involves an index not seen before.
+
+    State lifecycle: after each update the group's event-time timeout
+    is set to (last seen turn ts + the watermark horizon); once the
+    watermark passes it, the state is REMOVED — emitted pairs are
+    already out, and later rows for the conversation would be dropped
+    as late anyway, so a continuous deployment holds state only for
+    conversations still inside the late-data window (round 2 used
+    NoTimeout: state accreted forever)."""
     (conv_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        yield _empty_pairs()
+        return
     prev: set[int] = set(state.get[0]) if state.exists else set()
     new: set[int] = set()
+    max_ts = None
     for pdf in pdfs:
         new.update(int(x) for x in pdf["turn_idx"].tolist())
+        ts = pdf["ts"].max()
+        if not pd.isna(ts) and (max_ts is None or ts > max_ts):
+            max_ts = ts
     new -= prev
     all_seen = sorted(prev | new)
     rows = [
@@ -128,19 +161,27 @@ def _next_edges_group(key, pdfs, state: GroupState):
         if j == i + 1 and (i in new or j in new)
     ]
     state.update((list(all_seen),))
+    horizon = (
+        int(max_ts.value // 1_000_000) if max_ts is not None
+        else state.getCurrentWatermarkMs()
+    ) + _WATERMARK_MS
+    # the timeout must sit beyond the current watermark; rows at/before
+    # the watermark were almost-late, so their horizon could otherwise
+    # already have passed
+    state.setTimeoutTimestamp(max(horizon, state.getCurrentWatermarkMs() + 1))
     yield pd.DataFrame(rows, columns=["conv_id", "src_idx", "dst_idx"])
 
 
 def next_edge_triples_stream(t: DataFrame) -> DataFrame:
     pairs = (
-        t.withWatermark("ts", "2 hours")
+        t.withWatermark("ts", WATERMARK)
         .groupBy("conv_id")
         .applyInPandasWithState(
             _next_edges_group,
             outputStructType=_NEXT_OUT_SCHEMA,
             stateStructType=_NEXT_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     bn = lambda c: F.concat(  # noqa: E731
@@ -172,5 +213,10 @@ def kg_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"kg_stream '{name}' did not finish its availableNow run within "
+            "300s — the memory table would be partial"
+        )
     return spark.table(name)

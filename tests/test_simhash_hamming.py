@@ -1,38 +1,101 @@
-"""Banded SimHash Hamming search: EXACTNESS property.
+"""Banded SimHash Hamming grouping: EXACTNESS + scale-boundedness.
 
-4 bands x 4 bits: any pair within Hamming distance 3 differs in <= 3
+4 bands x 16 bits: any pair within Hamming distance 3 differs in <= 3
 bits spread over 4 bands, so at least one band matches (pigeonhole) —
-the banded candidate join must find EXACTLY the brute-force pair set.
+the banded grouping must equal the brute-force all-pairs result. And
+16-bit band keys (65,536 values) keep bucket sizes bounded by the
+data's real near-dup structure, not the keyspace (the round-2 4-bit
+bands put 1,799 of 5,000 docs in one bucket).
 """
 
 from pyspark.sql import functions as F
 
 from prec_spark.dedup.simhash import (
+    BAND_BITS,
+    BANDS,
     HAMMING_MAX,
-    _HAMMING_SQL,
     dedup_simhash_hamming,
+    simhash_hamming_groups_df,
 )
-from prec_spark.text.analysis import doc_fingerprint
+from prec_spark.text.analysis import doc_fingerprint, fingerprint_df
 
 
-def test_banded_equals_bruteforce(spark, sf_dir):
-    banded = {
-        (r.doc_a, r.doc_b, r.hamming)
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def _brute_canonical(doc_fps: list[tuple[int, str]]) -> set[tuple[int, str, int]]:
+    """Expected (doc_id, simhash64, canonical) via all-pairs Hamming."""
+    by_fp: dict[str, list[int]] = {}
+    for d, f in doc_fps:
+        by_fp.setdefault(f, []).append(d)
+    reps = {f: min(ds) for f, ds in by_fp.items()}
+    canon = dict(reps)
+    fps = sorted(reps)
+    for i, fa in enumerate(fps):
+        for fb in fps[i + 1 :]:
+            if _hamming(fa, fb) <= HAMMING_MAX:
+                canon[fa] = min(canon[fa], reps[fb])
+                canon[fb] = min(canon[fb], reps[fa])
+    return {(d, f, canon[f]) for d, f in doc_fps}
+
+
+def test_banded_groups_equal_bruteforce(spark, sf_dir):
+    doc_fps = [
+        (r.doc_id, r.simhash64)
+        for r in doc_fingerprint(spark, sf_dir).select("doc_id", "simhash64").collect()
+    ]
+    got = {
+        (r.doc_id, r.simhash64, r.canonical_doc_id)
         for r in dedup_simhash_hamming(spark, sf_dir).collect()
     }
-    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "simhash16")
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sim_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sim_b"))
-    brute = {
-        (r.doc_a, r.doc_b, r.hamming)
-        for r in (
-            a.join(b, F.col("doc_a") < F.col("doc_b"))
-            .withColumn("hamming", F.expr(_HAMMING_SQL.format(a="sim_a", b="sim_b")))
-            .filter(F.col("hamming") <= HAMMING_MAX)
-            .collect()
+    assert got == _brute_canonical(doc_fps)
+    assert len(got) == len(doc_fps)  # one row per doc
+
+
+def _planted_corpus(spark, n=5000, clones=20, toks=12):
+    """n docs of md5-random tokens; docs 0..clones-1 share doc 0's text."""
+    token_cols = [
+        F.md5(F.concat(F.col("base").cast("string"), F.lit(f"-{j}")))
+        for j in range(toks)
+    ]
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("doc_id"),
+            F.when(F.col("id") < clones, F.lit(0)).otherwise(F.col("id")).alias("base"),
         )
-    }
-    assert banded == brute and len(banded) > 0
+        .select("doc_id", F.concat_ws(" ", *token_cols).alias("text"))
+    )
+
+
+def test_band_buckets_data_bounded(spark):
+    """Planted 5k-doc corpus: no band bucket exceeds 1% of the docs,
+    and the canonical grouping finds exactly the planted clone set."""
+    n, clones = 5000, 20
+    fp = fingerprint_df(_planted_corpus(spark, n, clones)).select(
+        "doc_id", "simhash64"
+    )
+    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
+    buckets = None
+    for b in range(BANDS):
+        part = reps.select(
+            F.lit(b).alias("band"),
+            F.substring("simhash64", 1 + b * BAND_BITS, BAND_BITS).alias("key"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    max_bucket = (
+        buckets.groupBy("band", "key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket <= n // 100, f"hot band bucket: {max_bucket} docs"
+
+    groups = {r.doc_id: r.canonical_doc_id for r in simhash_hamming_groups_df(fp).collect()}
+    assert len(groups) == n
+    for d in range(clones):
+        assert groups[d] == 0  # exact clones collapse to doc 0
+    # random 64-bit fingerprints: radius-3 collisions are ~impossible
+    stray = [d for d, c in groups.items() if d >= clones and c != d]
+    assert not stray, f"unexpected near-dup groups: {stray[:5]}"
 
 
 def test_fuzzy_links_resolve_abbreviations(spark, sf_dir):

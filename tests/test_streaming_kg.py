@@ -52,6 +52,68 @@ def test_stream_matches_batch(spark, small_t, tmp_path):
     assert len(next_rows) == len(set(next_rows)) > 0
 
 
+def test_next_state_evicted_after_watermark(spark, tmp_path):
+    """Per-conversation NEXT state is dropped once the event-time
+    watermark passes its last turn + 2h, while the emitted pair set
+    still equals the batch answer (exactly once, nothing lost)."""
+    import datetime
+    import os
+
+    from prec_spark.streaming.kg import TRANSCRIPTS_SCHEMA, next_edge_triples_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+    files = [
+        # conv A, complete in batch 1
+        [("A", 0, "user", "hi", None, t0), ("A", 1, "assistant", "yo", None, t0 + m)],
+        # conv B starts 10h later: batch 2 moves the watermark past A's horizon...
+        [("B", 0, "user", "x", None, t0 + 10 * h)],
+        # ...and batch 3 (watermark now t0+8h > A's t0+1m+2h) evicts A
+        [("B", 1, "assistant", "y", None, t0 + 10 * h + m)],
+    ]
+    src = str(tmp_path / "evict_src")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).coalesce(1)
+        part_dir = str(tmp_path / f"part{i}")
+        df.write.parquet(part_dir)
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        next_edge_triples_stream(stream)
+        .writeStream.format("memory")
+        .queryName("evict_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = [(r.s, r.o) for r in spark.table("evict_test").collect()]
+    assert sorted(got) == [
+        ("_:turn_A_0", "_:turn_A_1"),
+        ("_:turn_B_0", "_:turn_B_1"),
+    ]  # stream == batch, each pair exactly once
+
+    progs = [p for p in q.recentProgress if p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progs]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0) for p in progs)
+    assert max(totals) == 2  # both conversations held state at the peak
+    assert totals[-1] == 1 and removed >= 1  # A evicted, only B remains
+
+
 def test_stateless_triples_static_twin(spark, small_t):
     """The stateless family, evaluated on the static DF, reproduces the
     corresponding batch triples exactly (same expressions, no state)."""

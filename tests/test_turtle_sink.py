@@ -22,6 +22,10 @@ TRIPLES = [
     # typed literal whose datatype is prefixable
     ("_:n1", "<http://example.org/q>",
      '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    # nested RDF-star term: the nested predicate IRI must compress,
+    # but the IRI-shaped text INSIDE the nested literal must not
+    ('<< _:e <http://bruy.at/prec#p> "see <http://bruy.at/prec#x>" >>',
+     "<http://example.org/meta>", '"m"'),
 ]
 
 
@@ -41,6 +45,9 @@ def test_turtle_roundtrip(spark, tmp_path):
     assert "rdfs:subClassOf" in text
     assert "<http://other.org/x>" in text  # no matching prefix -> absolute
     assert '<http://bruy.at/prec#fake>"' in text  # literal content untouched
+    # nested term: predicate compressed, literal content untouched
+    assert "<< _:e prec:p" in text
+    assert '"see <http://bruy.at/prec#x>"' in text
 
     reparsed = {(q.s.nt(), q.p.nt(), q.o.nt()) for q in parse_turtle(text)}
     assert reparsed == set(TRIPLES)
