@@ -28,6 +28,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def _build(master: str, shuffle_partitions: int):
     from prec_spark.session import build_session
@@ -72,24 +74,82 @@ def _kg(spark, sf_dir: str, mult: int, cores: int):
     )
 
 
+#: CPU-share weights of the timed kg job's two dominant workload
+#: classes, measured via /proc/stat around each component at 32 cores,
+#: mult=48 (round 3): PRSC/string materialization 945 of 1608 CPU-s,
+#: arrow-python entity extraction 551, PG projection + misc ~110
+#: (folded into the materialize class — same traffic profile).
+CEILING_WEIGHTS = {"materialize": 0.64, "pyarrow": 0.36}
+
+
 def _ceiling_probes(cores: int) -> dict[str, float]:
     """Machine parallel-scaling ceiling probes, one per workload class.
 
     Each timing builds a FRESH query (collect() on a reused Dataset
     replays its already-materialized AQE stages and measures nothing —
-    the round-1 probe had that bug). Three classes:
+    the round-1 probe had that bug). Classes:
     * alu    — md5 fold: pure compute, the optimistic ceiling
-    * string — triple-shaped concat + regexp over generated strings:
-               the representative ceiling for KG materialization
+    * string — triple-shaped concat + regexp over generated strings
+               (round 2's comparator; generates its input from range,
+               so it carries none of the pipeline's memory traffic)
+    * materialize — cached scan -> 6-way struct explode -> ~100 B
+               concat strings, the measured shape of the PRSC
+               materialization (6.4 triples/turn, 87.5 B mean triple
+               at sf0.1); sized so the warm wall is seconds, not
+               scheduling noise. This host saturates its memory
+               system here (~20 GB/s): efficiency 0.52 at 8->32 with
+               ZERO shuffles — a hardware ceiling, not a plan cost.
+    * pyarrow — pandas-UDF str op over a cached column: the entity
+               path's class (Arrow transfer + vectorized pandas)
     * shuffle — groupBy over 20M strings: local-mode shuffles are
                known to ANTI-scale on this host (measured 0.56x at
                32 vs 8 cores on disk); reported for transparency
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     spark = _build(f"local[{cores}]", 2 * cores)
 
+    mat_src = (
+        spark.range(32_000_000, numPartitions=4 * cores)
+        .select(
+            (F.col("id") % 997).cast("string").alias("conv"),
+            F.repeat(F.md5(F.col("id").cast("string")), 3).alias("text"),
+            F.col("id").cast("string").alias("idx"),
+        )
+        .cache()
+    )
+    py_src = (
+        spark.range(8_000_000, numPartitions=4 * cores)
+        .select(F.repeat(F.md5(F.col("id").cast("string")), 8).alias("text"))
+        .cache()
+    )
+
+    @pandas_udf("int")
+    def _hits(s: pd.Series) -> pd.Series:
+        return s.str.count("[ab]{2}").astype("int32")
+
     def make(probe):
+        if probe == "materialize":
+            structs = [
+                F.struct(
+                    F.concat(
+                        F.lit("<http://www.example.org/vocab/turn/"), F.col("conv"),
+                        F.lit("_"), F.col("idx"), F.lit(">"),
+                    ).alias("s"),
+                    F.lit(f"<http://www.example.org/vocab/p{i}>").alias("p"),
+                    F.concat(
+                        F.lit('"'), F.col("text"), F.lit("-"), F.col("idx"),
+                        F.lit(f'x{i}"'),
+                    ).alias("o"),
+                )
+                for i in range(6)
+            ]
+            return mat_src.select(F.explode(F.array(*structs)).alias("t")).select(
+                "t.*"
+            ).groupBy().count()
+        if probe == "pyarrow":
+            return py_src.select(F.sum(_hits(F.col("text"))))
         df = spark.range(20_000_000, numPartitions=cores * 8)
         if probe == "alu":
             return df.select(
@@ -107,8 +167,10 @@ def _ceiling_probes(cores: int) -> dict[str, float]:
                      F.md5(F.col("id").cast("string")))
         return df.select(s.alias("s")).groupBy(F.crc32(F.col("s")) % 4096).count()
 
+    mat_src.count()
+    py_src.count()
     out = {}
-    for probe in ("alu", "string", "shuffle"):
+    for probe in ("alu", "string", "materialize", "pyarrow", "shuffle"):
         make(probe).collect()  # warm (JIT)
         best = 1e18
         for _ in range(2):
@@ -121,7 +183,12 @@ def _ceiling_probes(cores: int) -> dict[str, float]:
 
 
 def scaling_run(cores: int, sf_dir: str, mult: int, reps: int):
+    # AQE off for the warm fixed-size loop: re-running an identical job
+    # gains nothing from runtime re-planning, and AQE's per-stage
+    # materialization adds ~10% wall at 32 cores (measured 52.7 ->
+    # 47.7 s at mult=48). The driver bench and production keep AQE on.
     spark = _build(f"local[{cores}]", 2 * cores)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         kg = _kg(spark, sf_dir, mult, cores)
         n = kg.count()  # warm (JIT, python workers)
@@ -161,17 +228,21 @@ def main():
         ceilings = {
             k: round((probes_lo[k] / probes_hi[k]) / ratio, 3) for k in probes_lo
         }
-        # the representative ceiling for this engine's hot path (string
-        # materialization); alu is the optimistic bound, shuffle the
-        # pessimistic one — all three are reported
-        ceiling = ceilings["string"]
+        # the representative ceiling blends the two classes the timed
+        # job actually spends CPU in (weights = measured /proc/stat CPU
+        # shares, see CEILING_WEIGHTS + BENCH.md): harmonic mean, since
+        # the job's wall is the sum of per-class walls
+        ceiling = 1.0 / sum(
+            w / max(ceilings[k], 1e-9) for k, w in CEILING_WEIGHTS.items()
+        )
         print(
             json.dumps(
                 {
                     "scaling": results,
                     "efficiency": round(eff, 3),
                     "machine_parallel_ceilings": ceilings,
-                    "machine_parallel_ceiling": ceiling,
+                    "ceiling_weights": CEILING_WEIGHTS,
+                    "machine_parallel_ceiling": round(ceiling, 3),
                     "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
                     "input_multiplier": mult,
                     "sf": sf,

@@ -39,6 +39,12 @@ PREC_PRSC_EDGE_RULE = NamedNode(PREC_NS + "PRSCEdgeRule")
 PREC_LABEL = NamedNode(PREC_NS + "label")
 PREC_PROPERTY_KEY = NamedNode(PREC_NS + "propertyKey")
 PREC_PRODUCES = NamedNode(PREC_NS + "produces")
+#: ENGINE EXTENSION (no reference counterpart — the reference's PRSC
+#: emits only into the default graph, though its DStar matches on all
+#: 4 positions, dataset/index.ts:257-271): a rule may declare
+#: `prec:targetGraph <g>` and its produced triples land in that named
+#: graph; apply_prsc(with_graphs=True) then emits (s, p, o, g) quads.
+PREC_TARGET_GRAPH = NamedNode(PREC_NS + "targetGraph")
 PREC_VALUE_OF = PREC_NS + "valueOf"
 PREC_PLACEHOLDER = PREC_NS + "_placeholder"
 
@@ -65,6 +71,8 @@ class PRSCRule:
     labels: list[str]
     properties: list[str]
     template: list[Quad]
+    #: optional output named graph (prec:targetGraph engine extension)
+    graph: Term | None = None
 
     @property
     def labels_key(self) -> str:
@@ -344,6 +352,15 @@ def _build_rule(ds: QuadSet, identity: Term):
     properties = xsd_strings(PREC_PROPERTY_KEY)
     template = _read_template(ds, identity)
 
+    graph = None
+    graph_objs = ds.follow_all(identity, PREC_TARGET_GRAPH)
+    if len(graph_objs) > 1:
+        raise ValueError(f"{identity.nt()}: at most one prec:targetGraph")
+    if graph_objs:
+        if not isinstance(graph_objs[0], NamedNode):
+            raise ValueError(f"{identity.nt()}: prec:targetGraph must be an IRI")
+        graph = graph_objs[0]
+
     for tt in template:
         for term in walk_terms(tt):
             if (
@@ -369,7 +386,7 @@ def _build_rule(ds: QuadSet, identity: Term):
 
     if violations:
         return None, violations
-    return PRSCRule(identity, kind, labels, properties, template), []
+    return PRSCRule(identity, kind, labels, properties, template, graph), []
 
 
 def _read_template(ds: QuadSet, identity: Term) -> list[Quad]:

@@ -61,6 +61,7 @@ from .ann import (
     ann_ivf_oracle_sql,
 )
 from .multimodal import binary_features, binary_features_oracle_sql
+from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .precc_flagship import (
     prec0_roundtrip,
     prec0_roundtrip_oracle_sql,
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_edges": _pg_edges_flat,
         "prec0_triples": _prec0_triples,
         "prsc_transcript_triples": flagship_triples,
+        "named_graph_quads": named_graph_quads,
         "precc_triples": precc_transcript_triples,
         "prsc_roundtrip": prsc_roundtrip,
         "prec0_roundtrip": prec0_roundtrip,
@@ -314,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "pg_edges": _pg_edges_oracle(),
         "prec0_triples": _prec0_oracle(),
         "prsc_transcript_triples": flagship_oracle_sql(),
+        "named_graph_quads": named_graph_oracle_sql(),
         "precc_triples": precc_oracle_sql(),
         "prsc_roundtrip": prsc_roundtrip_oracle_sql(),
         "prec0_roundtrip": prec0_roundtrip_oracle_sql(),

@@ -24,8 +24,24 @@ from ..rdf.terms import RDF_NS
 
 A = f"<{RDF_NS}type>"
 
-#: an authorized pattern: fixed term strings, None = wildcard
-Pattern = tuple[str | None, str | None, str | None]
+#: a pattern term: a fixed term string, None = wildcard, or a nested
+#: (s, p, o) pattern quad — matched RECURSIVELY against RDF-star
+#: `<< ... >>` term strings, mirroring QuadStar.matches
+#: (/root/reference/src/rdf/quad-star.ts:115-131): a nested pattern
+#: position may itself hold wildcards.
+PatternTerm = "str | None | tuple"
+Pattern = tuple  # (PatternTerm, PatternTerm, PatternTerm)
+
+# unrolled RDF-star term grammar (terms are self-delimiting strings;
+# our encoders emit single-space-separated '<< s p o >>' nesting).
+# Depth 2 of nesting inside a pattern is far beyond any reference
+# context (meta-properties nest once).
+_LITERAL_RE = r'"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9\-]+)?'
+_IRI_RE = r"<[^ <>]*>"
+_BNODE_RE = r"_:[A-Za-z0-9_.\-]+"
+_T0 = f"(?:{_LITERAL_RE}|{_IRI_RE}|{_BNODE_RE})"
+_Q1 = f"<< {_T0} {_T0} {_T0} >>"
+_T1 = f"(?:{_Q1}|{_T0})"
 
 
 def are_disjoint_types(quads: DataFrame, types: list[str]) -> bool:
@@ -38,11 +54,27 @@ def are_disjoint_types(quads: DataFrame, types: list[str]) -> bool:
     return typed.groupBy("s").count().filter(F.col("count") > 1).isEmpty()
 
 
+def _match_term(col: Column, pat, depth: int = 2) -> Column:
+    """Does the term string in `col` match the pattern term?
+    None = wildcard; str = equality; tuple = nested pattern quad,
+    matched against `<< s p o >>` structure recursively."""
+    if pat is None:
+        return F.lit(True)
+    if isinstance(pat, str):
+        return col == pat
+    inner = _T1 if depth >= 2 else _T0
+    rx = f"^<< ({inner}) ({inner}) ({inner}) >>$"
+    is_quad = F.regexp_extract(col, rx, 0) != ""
+    cond = is_quad
+    for i, sub in enumerate(pat, start=1):
+        cond = cond & _match_term(F.regexp_extract(col, rx, i), sub, depth - 1)
+    return cond
+
+
 def _matches(pattern: Pattern) -> Column:
     cond = F.lit(True)
-    for col, fixed in zip(("s", "p", "o"), pattern):
-        if fixed is not None:
-            cond = cond & (F.col(col) == fixed)
+    for col, pat in zip(("s", "p", "o"), pattern):
+        cond = cond & _match_term(F.col(col), pat)
     return cond
 
 

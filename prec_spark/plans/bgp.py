@@ -13,8 +13,13 @@ relationally:
 * EXISTS-style condition groups -> LEFT SEMI joins
 * find-filter-replace -> except + union of instantiated rows
 
-Patterns are (s, p, o) triples of term strings where "?name" marks a
-variable (same syntax the reference uses).
+Patterns are (s, p, o) triples — or (s, p, o, g) QUADS, matching the
+reference DStar's 4-position match (dataset/index.ts:257-271) — of
+term strings where "?name" marks a variable (same syntax the
+reference uses). A quad table carries an optional `g` column ('<>' =
+default graph); a 3-position pattern leaves the graph unconstrained
+(the reference's null wildcard), and a 4-position pattern against a
+graph-less table matches g against the default graph.
 """
 
 from __future__ import annotations
@@ -22,25 +27,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: term string of the default graph (NamedNode("").nt())
+DEFAULT_GRAPH_NT = "<>"
+
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def match_pattern(quads: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+def _g_col(quads: DataFrame) -> Column:
+    return F.col("g") if "g" in quads.columns else F.lit(DEFAULT_GRAPH_NT)
+
+
+def match_pattern(quads: DataFrame, pattern: tuple) -> DataFrame:
     """Single-pattern match -> one column per variable
     (reference: DStar.matchPattern, dataset/index.ts:310-371)."""
     df = quads
     cols: dict[str, Column] = {}
-    for pos, term in zip(("s", "p", "o"), pattern):
+    position_cols = [F.col("s"), F.col("p"), F.col("o"), _g_col(quads)]
+    for pos_col, term in zip(position_cols, pattern):
         if _is_var(term):
             name = term[1:]
             if name in cols:  # repeated variable: positions must agree
-                df = df.filter(F.col(pos) == cols[name])
+                df = df.filter(pos_col == cols[name])
             else:
-                cols[name] = F.col(pos)
+                cols[name] = pos_col
         else:
-            df = df.filter(F.col(pos) == term)
+            df = df.filter(pos_col == term)
     return df.select(*[c.alias(n) for n, c in cols.items()])
 
 
@@ -78,15 +91,20 @@ def exists_filter(
     return out
 
 
-def instantiate(bindings: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+def instantiate(bindings: DataFrame, pattern: tuple) -> DataFrame:
     """Bind variables in a destination pattern -> quad rows (P3,
-    bindVariables, dataset/index.ts:38-67)."""
+    bindVariables, dataset/index.ts:38-67). 4-position patterns emit
+    a `g` column."""
     cols = []
-    for pos, term in zip(("s", "p", "o"), pattern):
+    for pos, term in zip(("s", "p", "o", "g"), pattern):
         cols.append(
             F.col(term[1:]).alias(pos) if _is_var(term) else F.lit(term).alias(pos)
         )
     return bindings.select(*cols)
+
+
+def _key_cols(df: DataFrame) -> list[str]:
+    return [c for c in ("s", "p", "o", "g") if c in df.columns]
 
 
 def find_filter_replace(
@@ -111,21 +129,26 @@ def find_filter_replace(
         part = instantiate(bindings, pattern)
         produced = part if produced is None else produced.unionByName(part)
 
-    kept = quads.join(matched_quads.distinct(), on=["s", "p", "o"], how="leftanti")
+    # 3-position source patterns over a g-bearing table delete the
+    # match in EVERY graph (DStar's null-graph wildcard delete)
+    del_keys = [c for c in _key_cols(quads) if c in matched_quads.columns]
+    kept = quads.join(matched_quads.distinct(), on=del_keys, how="leftanti")
     if produced is None:
         return kept
-    return kept.unionByName(produced).dropDuplicates(["s", "p", "o"])
+    if "g" in quads.columns and "g" not in produced.columns:
+        produced = produced.withColumn("g", F.lit(DEFAULT_GRAPH_NT))
+    return kept.unionByName(produced).dropDuplicates(_key_cols(quads))
 
 
 # ------------------------------------------------------------------ set ops
 def quads_union(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1: set union (DStar.addAll + dedup, dataset/index.ts:114-178)."""
-    return a.unionByName(b).dropDuplicates(["s", "p", "o"])
+    return a.unionByName(b).dropDuplicates(_key_cols(a))
 
 
 def quads_difference(a: DataFrame, b: DataFrame) -> DataFrame:
     """U2: set difference (removeQuads/deleteMatches, :181-188,279-283)."""
-    return a.join(b, on=["s", "p", "o"], how="leftanti")
+    return a.join(b, on=_key_cols(a), how="leftanti")
 
 
 def delete_matches(quads: DataFrame, s=None, p=None, o=None) -> DataFrame:

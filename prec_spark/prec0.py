@@ -223,12 +223,18 @@ def _property_quads(
             F.posexplode("values").alias("value_pos", "value"),
         )
         .withColumn(
+            # key is sanitized like the holder id: a ':' in a property
+            # key must not produce an illegal bnode label, and the
+            # meta-property synthetic holder (prec0_quads) relies on
+            # this label equalling _bn('propval_<san(holder)>_<key>_<pos>')
+            # byte-for-byte — _bn sanitizes the whole string, so the
+            # key must be sanitized here too or meta triples dangle
             "value_bn",
             F.concat(
                 F.lit("_:propval_"),
                 sanitize_id_col(F.col("holder_id")),
                 F.lit("_"),
-                F.col("key"),
+                sanitize_id_col(F.col("key")),
                 F.lit("_"),
                 F.col("value_pos").cast("string"),
             ),

@@ -625,6 +625,10 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
         "holder_resolved", "resolved_self"
     )
     if not unresolved.isEmpty():
+        # fixed-depth LAZY unroll — no per-round isEmpty probes (each
+        # was a full Spark job; round-2 VERDICT item 9). The plan depth
+        # is bounded by _MAX_META_DEPTH = 3 chained join levels; the
+        # single action below both validates and gates the error path.
         level_selves = selves_of(base_inst)
         for _ in range(_MAX_META_DEPTH):
             resolved_now = (
@@ -636,23 +640,19 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
                 .withColumnRenamed("resolved_self", "holder_resolved")
                 .drop("holder_key")
             )
-            if resolved_now.isEmpty():
-                break
             produced = produced.unionByName(produce(resolved_now))
             unresolved = unresolved.join(
                 level_selves.select(F.col("holder_key").alias("holder")),
                 "holder",
                 "leftanti",
             )
-            if unresolved.isEmpty():
-                break
             level_selves = selves_of(resolved_now)
         # a meta property whose holder never resolves (orphaned value
         # node, or nesting beyond _MAX_META_DEPTH) is an error, not a
         # silent drop — the reference's recursive deepResolve has no
         # base case for it either (rules-for-properties.ts:333-386)
-        if not unresolved.isEmpty():
-            bad = [r.holder for r in unresolved.select("holder").limit(3).collect()]
+        bad = [r.holder for r in unresolved.select("holder").limit(3).collect()]
+        if bad:
             raise ValueError(
                 f"meta properties with unresolvable holders (orphaned or "
                 f"nested beyond depth {_MAX_META_DEPTH}): {bad}"
@@ -713,16 +713,24 @@ def _rdf_list_items(q: DataFrame) -> DataFrame:
 
     frontier = heads.select("head", F.col("head").alias("node"), F.lit(0).alias("pos"))
     all_nodes = frontier
-    for _ in range(64):
-        nxt = (
-            frontier.join(rests, frontier["node"] == rests["rnode"], "inner")
+
+    def step(f):
+        return (
+            f.join(rests, f["node"] == rests["rnode"], "inner")
             .filter(F.col("next") != RDF_NIL)
             .select("head", F.col("next").alias("node"), (F.col("pos") + 1).alias("pos"))
         )
-        if nxt.isEmpty():
+
+    # chunked frontier expansion: 4 LAZY steps per emptiness probe, so
+    # a typical (short) property list costs ONE driver action instead
+    # of one per element (round-2 VERDICT item 9); the 16-chunk cap
+    # bounds positions at 64, as before.
+    for _ in range(16):
+        for _ in range(4):
+            frontier = step(frontier)
+            all_nodes = all_nodes.unionByName(frontier)
+        if frontier.isEmpty():
             break
-        all_nodes = all_nodes.unionByName(nxt)
-        frontier = nxt
     return all_nodes.join(firsts, on="node", how="inner").select(
         "head", "node", "pos", "item"
     )

@@ -85,12 +85,15 @@ class CompiledCatalog:
     rows: list[tuple[int, str, str, str, list[list[str]]]]
     value_keys: list[str]
     bnode_names: list[str]
+    #: rule_idx -> output graph term string ('<>' = default graph)
+    graphs: dict[int, str]
 
     @classmethod
     def from_catalog(cls, catalog: PRSCCatalog) -> "CompiledCatalog":
         rows = []
         value_keys: set[str] = set()
         bnode_names: set[str] = set()
+        graphs: dict[int, str] = {}
         for idx, rule in enumerate(catalog.rules):
             patterns = []
             for tt in rule.template:
@@ -109,7 +112,8 @@ class CompiledCatalog:
                     if isinstance(term, BlankNode):
                         bnode_names.add(term.value)
             rows.append((idx, rule.kind, rule.labels_key, rule.props_key, patterns))
-        return cls(rows, sorted(value_keys), sorted(bnode_names))
+            graphs[idx] = rule.graph.nt() if getattr(rule, "graph", None) else "<>"
+        return cls(rows, sorted(value_keys), sorted(bnode_names), graphs)
 
 
 def elements_df(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -238,15 +242,23 @@ def apply_prsc(
     edges: DataFrame,
     catalog: PRSCCatalog,
     unique_edge_triples: bool = False,
+    with_graphs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply a PRSC context. Returns (triples, quarantine).
 
     triples:    (s string, p string, o string) — canonical term strings,
-                set semantics (deduplicated).
+                set semantics (deduplicated). With with_graphs=True a
+                4th column g carries each rule's prec:targetGraph
+                ('<>' = default graph).
     quarantine: (element_id, kind, labels_key, props_key, reason) —
                 elements the reference would throw on.
     """
     compiled = CompiledCatalog.from_catalog(catalog)
+    if not with_graphs and any(g != "<>" for g in compiled.graphs.values()):
+        raise ValueError(
+            "catalog declares prec:targetGraph rules; call "
+            "apply_prsc(..., with_graphs=True) to receive (s, p, o, g) quads"
+        )
     rules_df = spark.createDataFrame(
         compiled.rows,
         "rule_idx INT, kind STRING, labels_key STRING, props_key STRING, "
@@ -336,6 +348,11 @@ def apply_prsc(
                     _compile_concat(s_pat, idx).alias("s"),
                     _compile_concat(p_pat, idx).alias("p"),
                     _compile_concat(o_pat, idx).alias("o"),
+                    *(
+                        [F.lit(compiled.graphs[idx]).alias("g")]
+                        if with_graphs
+                        else []
+                    ),
                 )
                 for (s_pat, p_pat, o_pat) in pats
             ]
@@ -347,15 +364,18 @@ def apply_prsc(
             )
         return matched.select(F.explode(arr_expr).alias("t")).select("t.*")
 
+    out_cols = ["s", "p", "o"] + (["g"] if with_graphs else [])
     b_free = when_chain_explode(free)
     if b_free is not None:
         outputs.append(b_free)
     b_str = when_chain_explode(string_dedup)
     if b_str is not None:
-        outputs.append(b_str.dropDuplicates(["s", "p", "o"]))
+        outputs.append(b_str.dropDuplicates(out_cols))
 
     if not outputs:
-        triples = spark.createDataFrame([], "s STRING, p STRING, o STRING")
+        triples = spark.createDataFrame(
+            [], ", ".join(f"{c} STRING" for c in out_cols)
+        )
     else:
         triples = outputs[0]
         for df in outputs[1:]:

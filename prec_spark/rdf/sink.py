@@ -118,3 +118,50 @@ def write_triples_parquet(
 ):
     df = triples if partitions is None else triples.repartition(partitions)
     df.write.mode(mode).parquet(path)
+
+
+# ------------------------------------------------------------ named graphs
+
+def trig_lines(
+    quads: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """TriG serialization of an (s, p, o, g) quad table: default-graph
+    rows ('<>') print as bare triples, named-graph rows as one-triple
+    `<g> { s p o . }` blocks — both valid TriG, line-independent so the
+    dataset is again the concatenation of text parts after the header
+    partition."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    spark = quads.sparkSession
+    header = spark.createDataFrame(
+        [(f"@prefix {p}: <{ns}> .",) for p, ns in prefixes.items()], "value string"
+    ).coalesce(1)
+    triple = F.concat_ws(
+        " ",
+        _compress(F.col("s"), prefixes),
+        _compress(F.col("p"), prefixes),
+        _compress(F.col("o"), prefixes),
+        F.lit("."),
+    )
+    body = quads.select(
+        F.when(F.col("g") == "<>", triple)
+        .otherwise(
+            F.concat(
+                _compress(F.col("g"), prefixes), F.lit(" { "), triple, F.lit(" }")
+            )
+        )
+        .alias("value")
+    )
+    return header.unionByName(body)
+
+
+def write_trig(
+    quads: DataFrame, path: str, prefixes: dict[str, str] | None = None,
+    mode: str = "overwrite",
+):
+    trig_lines(quads, prefixes).write.mode(mode).text(path)
+
+
+def write_quads_parquet(quads: DataFrame, path: str, mode: str = "overwrite"):
+    """Graph-partitioned quad sink: one parquet partition directory per
+    named graph (`g=...`), so graph-scoped readers prune at the scan."""
+    quads.write.mode(mode).partitionBy("g").parquet(path)

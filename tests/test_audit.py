@@ -56,6 +56,35 @@ def test_all_usage_finds_nested_star_occurrence(spark):
     assert all_usage_of_are(q, "_:e", [("_:e", None, None)]) is None
 
 
+def test_all_usage_nested_pattern_wildcards(spark):
+    """The reference's RDF-star cases (DStar.test.ts:207-225): a
+    pattern position may be a nested pattern quad whose OWN positions
+    hold wildcards — the nested usage is judged by the nested quad's
+    structure, not the enclosing quad's top-level strings."""
+    toto_quad = "<< <http://ex/toto> <http://ex/likes> <http://ex/anna> >>"
+    q = _quads(
+        spark,
+        [("<http://ex/a_former_twitter_user>", "<http://ex/says>", toto_quad)],
+    )
+    ok = all_usage_of_are(
+        q,
+        "<http://ex/toto>",
+        [(
+            "<http://ex/a_former_twitter_user>",
+            "<http://ex/says>",
+            ("<http://ex/toto>", None, None),
+        )],
+    )
+    assert ok is not None and ok.count() == 1
+    # wrong nested subject -> the usage is unauthorized
+    assert (
+        all_usage_of_are(
+            q, "<http://ex/toto>", [(None, None, ("<http://ex/anna>", None, None))]
+        )
+        is None
+    )
+
+
 def test_prec0_revert_disjointness_precondition(spark):
     """prec0_revert must refuse a graph where an element is both a
     node and an edge (prec-0-reversion.ts:104-106 parity)."""

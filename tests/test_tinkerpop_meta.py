@@ -22,6 +22,10 @@ DOCS = [
      "properties": {"name": [{"value": "vadas"}]}},
     {"type": "edge", "id": "7", "label": "knows", "outV": "1", "inV": "2",
      "properties": {"weight": 0.5}},
+    # property KEY containing ':' — the meta holder label and the parent
+    # value-node label must still be byte-identical after sanitization
+    {"type": "vertex", "id": "3", "label": "person",
+     "properties": {"ns:tag": [{"value": "x", "meta": {"why": 1}}]}},
 ]
 
 VOCAB = "http://www.example.org/vocab/"
@@ -53,6 +57,13 @@ def test_prec0_meta_quads(spark):
     # emitted exactly once across node/edge/meta property families
     assert ("_:edge_7", f"<{VOCAB}edge/property/weight/knows>",
             "_:propval_edge_7_weight_0") in quads
+
+    # ':' in a property key: parent value node and meta holder must be
+    # the SAME (sanitized) label, or the meta triples dangle
+    colon_pv = "_:propval_vertex_3_ns_tag_0"
+    assert ("_:vertex_3", f"<{VOCAB}node/property/ns:tag/person>", colon_pv) in quads
+    assert (colon_pv, f"<{VOCAB}node/property/why/person>",
+            "_:propval_propval_vertex_3_ns_tag_0_why_0") in quads
 
     rows = prec0_quads(nodes, edges, meta=meta).collect()
     singleton = [
