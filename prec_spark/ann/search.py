@@ -165,14 +165,26 @@ def train_kmeans(
     return spark.createDataFrame(sorted(cents.items()), schema)
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None) -> DataFrame:
-    """IVF search: train quantizer, assign corpus, probe NPROBE cells.
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    nprobe: int = NPROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF search: train quantizer, assign corpus, probe `nprobe` cells.
 
     `vectors` overrides the embeddings table (recall tests inject a
-    planted clustered corpus through it)."""
+    planted clustered corpus through it); `nprobe` overrides the probed
+    cell count and `centroids` a pre-trained quantizer (the recall test
+    sweeps nprobe over one training — the oracle uses the defaults)."""
     vecs = vectors if vectors is not None else _vectors(spark, sf_dir)
     vecs = vecs.select("vec_id", "v", "nrm").cache()
-    cents = train_kmeans(spark, vecs, _k_cells(vecs.count()))
+    cents = (
+        centroids
+        if centroids is not None
+        else train_kmeans(spark, vecs, _k_cells(vecs.count()))
+    )
 
     assigned = _assign(vecs, cents)
     q = _queries(vecs.withColumnRenamed("nrm", "qnrm"))
@@ -182,7 +194,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None) 
         q.crossJoin(F.broadcast(cents))
         .withColumn("d2", _d2_expr(F.col("qv"), F.col("cent")))
         .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qnrm", F.col("k").alias("cell"))
     )
     cand = probes.join(assigned, "cell").filter(

@@ -16,19 +16,31 @@ _ISOLATED_MODULES = {
     "test_reference_corpus",
     "test_precc_golden",
     "test_entry",
+    "test_ann_recall_scale",
+}
+
+#: per-module conf overrides for isolated sessions (the 10^5-vector
+#: recall corpus needs a bigger heap and all local cores)
+_ISOLATED_CONF = {
+    "test_ann_recall_scale": {
+        "master": "local[16]",
+        "shuffle_partitions": 32,
+        "memory": "8g",
+    },
 }
 
 _state: dict = {"shared": None}
 
 
-def _build(app_name: str):
+def _build(app_name: str, mod: str | None = None):
     from prec_spark.session import build_session
 
+    over = _ISOLATED_CONF.get(mod or "", {})
     return build_session(
         app_name=app_name,
-        master="local[4]",
-        shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        master=over.get("master", "local[4]"),
+        shuffle_partitions=over.get("shuffle_partitions", 8),
+        extra_conf={"spark.driver.memory": over.get("memory", "4g")},
     )
 
 
@@ -43,7 +55,7 @@ def spark(request):
         if _alive(_state["shared"]):
             _state["shared"].stop()
         _state["shared"] = None
-        isolated = _build(f"prec-spark-{mod}")
+        isolated = _build(f"prec-spark-{mod}", mod)
         yield isolated
         isolated.stop()
     else:
