@@ -61,6 +61,7 @@ from .ann import (
     ann_ivf_oracle_sql,
 )
 from .multimodal import binary_features, binary_features_oracle_sql
+from .multimodal.media import media_features, media_features_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .precc_flagship import (
     prec0_roundtrip,
@@ -306,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf": ann_ivf,
         "multimodal_features": binary_features,
+        "media_decode": media_features,
     }
 
 
@@ -339,4 +341,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ann_bruteforce_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
+        "media_decode": media_features_oracle_sql(),
     }

@@ -2,11 +2,13 @@
 
 Design per the build brief: image/audio/video are `binary` columns
 with a typed metadata struct; decode / feature-extract run as
-Arrow-batched pandas UDFs over mapInPandas. The actual media codecs
-are NOT in this container, so the decode step is a clearly-marked stub
-(NotImplementedError) — but the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested against a
-deterministic fake payload (the document text bytes).
+Arrow-batched pandas UDFs over mapInPandas.
+
+Round 3: image (PNG/BMP) and audio (WAV) decode is REAL — pure-stdlib
+codecs in codecs.py feed the oracle-gated `media_decode` query
+(media.py). This module keeps the byte-statistics feature path over
+arbitrary payloads; only VIDEO decode remains stubbed below (no
+container/codec support without external libraries).
 """
 
 from __future__ import annotations
@@ -43,16 +45,14 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes):
-    """STUB — media codecs are not available in this environment.
-
-    On a real cluster this would be `PIL.Image.open(io.BytesIO(...))`
-    (or an audio/video decoder) inside the same mapInPandas plumbing.
-    """
+def decode_video_stub(payload: bytes):
+    """STUB — video containers/codecs need external libraries that are
+    not in this environment. Image (PNG/BMP) and audio (WAV) decode is
+    implemented for real in codecs.py; a video decoder would slot into
+    the same mapInPandas plumbing (media.py)."""
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; the surrounding Spark plumbing is real — swap this "
-        "function for an actual decoder"
+        "video decode requires a codec library not present in this "
+        "container; see codecs.py for the real PNG/BMP/WAV decoders"
     )
 
 

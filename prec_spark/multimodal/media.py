@@ -1,0 +1,165 @@
+"""Real multimodal decode end-to-end (oracle-gated).
+
+The `documents` table drives a deterministic synthetic media corpus —
+every doc gets a REAL file payload (doc_id % 3: WAV / PNG / BMP) built
+by the pure-stdlib encoders in codecs.py — and `media_features`
+DECODES those bytes back (magic-byte sniffing + real PNG/BMP/WAV
+parsing) inside Arrow-batched mapInPandas, emitting integer features.
+
+The DuckDB oracle never sees the bytes: it predicts the features from
+the closed-form generator formulas. Spark must therefore round-trip
+encoder -> real decoder byte-exactly for the gate to pass — this is a
+decode correctness check, not a plumbing check.
+
+Generator formulas (mirrored in SQL):
+  PNG  (doc_id%3==1): w=4+id%13, h=3+id%11,
+       r=(id+x+2y)%256, g=(2id+3x+y)%256, b=(3id+5x+7y)%256
+  BMP  (doc_id%3==2): w=2+id%5,  h=2+id%4,  same channel formulas
+  WAV  (doc_id%3==0): n=400+id%100 frames @8000 Hz mono,
+       s_i = ((31*id+17*i) % 4096) - 2048
+Features: pixel_sum = sum over the decoded pixel buffer (= sum r+g+b),
+sample_abs_sum = sum |s_i| — integers, so no float drift cross-engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import load_table
+from .codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff_kind,
+)
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, pixel_sum BIGINT, "
+    "n_frames INT, sample_rate INT, sample_abs_sum BIGINT"
+)
+
+
+def _rgb(doc_id: int, w: int, h: int) -> bytes:
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            buf.append((doc_id + x + 2 * y) % 256)
+            buf.append((2 * doc_id + 3 * x + y) % 256)
+            buf.append((3 * doc_id + 5 * x + 7 * y) % 256)
+    return bytes(buf)
+
+
+def synth_payload(doc_id: int) -> bytes:
+    m = doc_id % 3
+    if m == 0:
+        n = 400 + doc_id % 100
+        samples = [((31 * doc_id + 17 * i) % 4096) - 2048 for i in range(n)]
+        return encode_wav(samples)
+    if m == 1:
+        w, h = 4 + doc_id % 13, 3 + doc_id % 11
+        return encode_png(w, h, _rgb(doc_id, w, h))
+    w, h = 2 + doc_id % 5, 2 + doc_id % 4
+    return encode_bmp(w, h, _rgb(doc_id, w, h))
+
+
+def media_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) — real PNG/BMP/WAV bytes per document."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: synth_payload(int(i))),
+                }
+            )
+
+    return d.mapInPandas(synth, "doc_id BIGINT, payload BINARY")
+
+
+def _features_of(payload: bytes) -> dict:
+    kind = sniff_kind(payload)
+    if kind == "audio/wav":
+        _ch, rate, n, samples = decode_wav(payload)
+        return {
+            "kind": kind, "width": None, "height": None, "pixel_sum": None,
+            "n_frames": n, "sample_rate": rate,
+            "sample_abs_sum": sum(abs(s) for s in samples),
+        }
+    if kind == "image/png":
+        w, h, _c, pixels = decode_png(payload)
+    elif kind == "image/bmp":
+        w, h, _c, pixels = decode_bmp(payload)
+    else:
+        raise ValueError(f"unknown media kind: {payload[:8]!r}")
+    return {
+        "kind": kind, "width": w, "height": h, "pixel_sum": sum(pixels),
+        "n_frames": None, "sample_rate": None, "sample_abs_sum": None,
+    }
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode real media bytes -> integer features (see module doc)."""
+    media = media_documents(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_features_of(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            for col in ("width", "height", "n_frames", "sample_rate"):
+                out[col] = out[col].astype("Int32")
+            for col in ("pixel_sum", "sample_abs_sum"):
+                out[col] = out[col].astype("Int64")
+            yield out
+
+    return media.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+def media_features_oracle_sql() -> str:
+    """Closed-form predictions of the decoded features (no bytes)."""
+    rgb_sum = (
+        "(doc_id + x + 2*y) % 256 + (2*doc_id + 3*x + y) % 256"
+        " + (3*doc_id + 5*x + 7*y) % 256"
+    )
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN 4 + doc_id % 13 ELSE 2 + doc_id % 5 END AS w,
+         CASE WHEN doc_id % 3 = 1 THEN 3 + doc_id % 11 ELSE 2 + doc_id % 4 END AS h,
+         CASE WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'image/bmp' END AS kind
+  FROM ids WHERE doc_id % 3 <> 0
+),
+img_x AS (SELECT doc_id, kind, w, h, unnest(range(0, w)) AS x FROM img),
+img_xy AS (SELECT doc_id, kind, w, h, x, unnest(range(0, h)) AS y FROM img_x),
+img_feat AS (
+  SELECT doc_id, kind, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+         CAST(sum({rgb_sum}) AS BIGINT) AS pixel_sum
+  FROM img_xy GROUP BY doc_id, kind
+),
+wav AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n FROM ids WHERE doc_id % 3 = 0
+),
+wav_i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM wav),
+wav_feat AS (
+  SELECT doc_id, CAST(max(n) AS INT) AS n_frames,
+         CAST(sum(abs(((31*doc_id + 17*i) % 4096) - 2048)) AS BIGINT) AS sample_abs_sum
+  FROM wav_i GROUP BY doc_id
+)
+SELECT doc_id, kind, width, height, pixel_sum,
+       CAST(NULL AS INT) AS n_frames, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS sample_abs_sum
+FROM img_feat
+UNION ALL
+SELECT doc_id, 'audio/wav', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), n_frames, CAST(8000 AS INT), sample_abs_sum
+FROM wav_feat
+"""

@@ -1,0 +1,120 @@
+"""Pure-stdlib media codecs: round-trips, PNG filter-type generality,
+and the decoded-features contract used by the media_features oracle."""
+
+import struct
+import zlib
+
+import pytest
+
+from prec_spark.multimodal.codecs import (
+    _paeth,
+    _png_chunk,
+    _PNG_MAGIC,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff_kind,
+)
+from prec_spark.multimodal.media import _features_of, synth_payload
+
+
+def _rgb(w, h):
+    return bytes((x * 7 + y * 3 + ch * 11) % 256 for y in range(h) for x in range(w) for ch in range(3))
+
+
+def test_png_roundtrip():
+    w, h = 6, 5
+    rgb = _rgb(w, h)
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, 3, rgb)
+    assert sniff_kind(encode_png(w, h, rgb)) == "image/png"
+
+
+def test_bmp_roundtrip_with_padding():
+    for w in (2, 3, 4, 5):  # odd widths exercise the 4-byte row padding
+        rgb = _rgb(w, 3)
+        assert decode_bmp(encode_bmp(w, 3, rgb)) == (w, 3, 3, rgb)
+
+
+def test_wav_roundtrip():
+    s = [((i * 37) % 4096) - 2048 for i in range(257)]
+    ch, rate, n, s2 = decode_wav(encode_wav(s, 16000))
+    assert (ch, rate, n, s2) == (1, 16000, 257, s)
+
+
+def _encode_png_filtered(w, h, rgb, ftypes):
+    """PNG with a CHOSEN filter type per scanline (filters applied
+    forward here; decode must invert them)."""
+    stride, bpp = w * 3, 3
+    prev = bytearray(stride)
+    raw = b""
+    for y in range(h):
+        line = bytearray(rgb[y * stride : (y + 1) * stride])
+        ftype = ftypes[y % len(ftypes)]
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ftype == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif ftype == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:
+                enc[i] = (line[i] - _paeth(a, b, c)) & 0xFF
+        raw += bytes([ftype]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_handles_all_filter_types():
+    w, h = 7, 8
+    rgb = _rgb(w, h)
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_encode_png_filtered(w, h, rgb, ftypes))
+        assert got == (w, h, 3, rgb), f"filters {ftypes}"
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    # 16-bit depth refused
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad)
+
+
+def test_synth_features_match_closed_form():
+    """The decoded features equal the generator's closed forms — the
+    same arithmetic the DuckDB oracle runs without seeing any bytes."""
+    for i in range(30):
+        f = _features_of(synth_payload(i))
+        m = i % 3
+        if m == 0:
+            n = 400 + i % 100
+            assert f["kind"] == "audio/wav" and f["n_frames"] == n
+            assert f["sample_abs_sum"] == sum(
+                abs(((31 * i + 17 * k) % 4096) - 2048) for k in range(n)
+            )
+        else:
+            w = 4 + i % 13 if m == 1 else 2 + i % 5
+            h = 3 + i % 11 if m == 1 else 2 + i % 4
+            assert (f["width"], f["height"]) == (w, h)
+            assert f["pixel_sum"] == sum(
+                (i + x + 2 * y) % 256
+                + (2 * i + 3 * x + y) % 256
+                + (3 * i + 5 * x + 7 * y) % 256
+                for x in range(w)
+                for y in range(h)
+            )
