@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--input", required=True, help="sf_dir (local) or table path")
     ap.add_argument("--output", required=True, help="workdir for checkpoints/triples")
     ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument(
+        "--named-graphs",
+        action="store_true",
+        help="also materialize the prec:targetGraph quad variant into "
+        "<output>/quads, one parquet partition per named graph",
+    )
     args = ap.parse_args()
 
     from prec_spark.pipeline import run_pipeline
@@ -52,6 +58,17 @@ def main():
             for m in pipe.metrics
         ],
     }
+    if args.named_graphs:
+        from prec_spark.named_graphs import named_graph_quads
+        from prec_spark.rdf.sink import write_quads_parquet
+
+        quads = named_graph_quads(spark, args.input)
+        write_quads_parquet(quads, os.path.join(args.output, "quads"))
+        back = spark.read.parquet(os.path.join(args.output, "quads"))
+        summary["named_graph_quads"] = back.count()
+        summary["named_graphs"] = sorted(
+            r.g for r in back.select("g").distinct().collect()
+        )
     print(json.dumps(summary))
     spark.stop()
 

@@ -53,6 +53,106 @@ class QuadSet:
 
         return [q.s for q in self.match(p=NamedNode(RDF_NS + "type"), o=type_iri, g=g)]
 
+    # ---- F9 path/shape checks (src/rdf/path-travelling.ts) ----------
+
+    def has_named_graph(self) -> bool:
+        """hasNamedGraph (path-travelling.ts:20-29). Quad.g of None
+        (nested-term construction default) counts as the default graph."""
+        return any(q.g is not None and q.g != DEFAULT_GRAPH for q in self.quads)
+
+    def is_rdf_star(self) -> bool:
+        """isRdfStar (path-travelling.ts:31-42): any quad with a nested
+        quad in subject or object position."""
+        return any(isinstance(q.s, Quad) or isinstance(q.o, Quad) for q in self.quads)
+
+    def get_paths_from(self, s: Term, ignore: Iterable[Term] = ()) -> list[Quad]:
+        """getPathsFrom (path-travelling.ts:77-90): default-graph quads
+        from `s` whose predicate is not in the ignore list."""
+        skip = set(ignore)
+        return [q for q in self.match(s=s, g=DEFAULT_GRAPH) if q.p not in skip]
+
+    def follow_or_null(self, s: Term, p: Term) -> Term | None:
+        """followOrNull (path-travelling.ts:109-124): the unique object,
+        None when absent — but raises when the path is NOT unique."""
+        objs = self.follow_all(s, p)
+        if len(objs) > 1:
+            raise ValueError(f"expected at most one {p.nt()} on {s.nt()}")
+        return objs[0] if objs else None
+
+    def has_expected_paths(
+        self,
+        s: Term,
+        required: list[tuple[Term, Term | None]],
+        optional: list[tuple[Term, Term | None]],
+    ) -> bool | None:
+        """hasExpectedPaths (path-travelling.ts:157-197): every
+        default-graph quad from `s` must consume one required or
+        optional (predicate, object-or-wildcard) path; all required
+        paths must be consumed. None mirrors the reference's early
+        size-based null."""
+        match = self.match(s=s, g=DEFAULT_GRAPH)
+        if len(match) < len(required):
+            return None
+        req, opt = list(required), list(optional)
+
+        def consume(q: Quad, paths: list) -> bool:
+            for i, (p, o) in enumerate(paths):
+                if q.p == p and (o is None or q.o == o):
+                    paths.pop(i)
+                    return True
+            return False
+
+        for q in match:
+            if not consume(q, req) and not consume(q, opt):
+                return False
+        return not req
+
+    def check_and_follow(
+        self,
+        s: Term,
+        p: Term,
+        required: list[tuple[Term, Term]],
+        optional: list[tuple[Term, Term]],
+    ) -> Term | None:
+        """checkAndFollow (path-travelling.ts:217-236): the object of
+        the unique (s, p) path iff the subject's paths are exactly the
+        followed path + required + optional."""
+        followed = self.follow_through(s, p)
+        if followed is None:
+            return None
+        ok = self.has_expected_paths(s, [(p, followed), *required], list(optional))
+        return followed if ok else None
+
+    def extract_and_delete_rdf_list(self, head: Term) -> list[Term]:
+        """extractAndDeleteRdfList (path-travelling.ts:246-289): walk a
+        well-formed rdf:first/rdf:rest chain from `head`, REMOVE its
+        quads, return the items; raise on malformed or externally
+        connected list nodes."""
+        from ..rdf.terms import RDF_NS, NamedNode
+
+        first, rest = NamedNode(RDF_NS + "first"), NamedNode(RDF_NS + "rest")
+        nil = NamedNode(RDF_NS + "nil")
+        items: list[Term] = []
+        node = head
+        to_remove: list[Quad] = []
+        while node != nil:
+            outgoing = self.match(s=node, g=DEFAULT_GRAPH)
+            incoming = self.match(o=node, g=DEFAULT_GRAPH)
+            expected_in = 0 if node == head else 1
+            if len(incoming) != expected_in or len(outgoing) != 2:
+                raise ValueError(f"invalid RDF list node {node.nt()}")
+            f = self.follow_through(node, first)
+            r = self.follow_through(node, rest)
+            if f is None or r is None:
+                raise ValueError(f"invalid RDF list node {node.nt()}")
+            items.append(f)
+            to_remove.extend(outgoing)
+            node = r
+        for q in to_remove:
+            self._seen.discard(q)
+            self.quads.remove(q)
+        return items
+
     def __len__(self):
         return len(self.quads)
 
