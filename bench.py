@@ -265,7 +265,10 @@ def main():
     # the full 9M-quad expansion at sf0.1 — they are verified at sf0.01
     # by the driver's oracle gate, and benching them would double the
     # round wall without measuring a new hot path.
-    skip = {"prsc_roundtrip", "prec0_roundtrip", "precc_triples"}
+    # kg_stream_triples is the stream==batch equivalence gate: it runs
+    # the SAME triple families through Structured Streaming — timing it
+    # here would measure micro-batch orchestration, not a new hot path.
+    skip = {"prsc_roundtrip", "prec0_roundtrip", "precc_triples", "kg_stream_triples"}
     # cold = first run in this session (JIT + codegen + python-worker
     # spinup included); warm_best = best of WARM_REPS further runs —
     # the steady-state number comparable across rounds on this +-40%

@@ -129,9 +129,11 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
-def _next_edges_group(key, pdfs, state: GroupState):
-    """Emit NEXT pairs exactly once across micro-batches: a pair
-    (i, i+1) is emitted when it involves an index not seen before.
+def _make_next_edges_group(horizon_ms: int):
+    """Build the stateful NEXT-pair function for a given late horizon.
+
+    Emit NEXT pairs exactly once across micro-batches: a pair (i, i+1)
+    is emitted when it involves an index not seen before.
 
     State lifecycle: after each update the group's event-time timeout
     is set to (last seen turn ts + the watermark horizon); once the
@@ -140,44 +142,54 @@ def _next_edges_group(key, pdfs, state: GroupState):
     as late anyway, so a continuous deployment holds state only for
     conversations still inside the late-data window (round 2 used
     NoTimeout: state accreted forever)."""
-    (conv_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        yield _empty_pairs()
-        return
-    prev: set[int] = set(state.get[0]) if state.exists else set()
-    new: set[int] = set()
-    max_ts = None
-    for pdf in pdfs:
-        new.update(int(x) for x in pdf["turn_idx"].tolist())
-        ts = pdf["ts"].max()
-        if not pd.isna(ts) and (max_ts is None or ts > max_ts):
-            max_ts = ts
-    new -= prev
-    all_seen = sorted(prev | new)
-    rows = [
-        (conv_id, i, j)
-        for i, j in zip(all_seen, all_seen[1:])
-        if j == i + 1 and (i in new or j in new)
-    ]
-    state.update((list(all_seen),))
-    horizon = (
-        int(max_ts.value // 1_000_000) if max_ts is not None
-        else state.getCurrentWatermarkMs()
-    ) + _WATERMARK_MS
-    # the timeout must sit beyond the current watermark; rows at/before
-    # the watermark were almost-late, so their horizon could otherwise
-    # already have passed
-    state.setTimeoutTimestamp(max(horizon, state.getCurrentWatermarkMs() + 1))
-    yield pd.DataFrame(rows, columns=["conv_id", "src_idx", "dst_idx"])
+
+    def _next_edges_group(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield _empty_pairs()
+            return
+        prev: set[int] = set(state.get[0]) if state.exists else set()
+        new: set[int] = set()
+        max_ts = None
+        for pdf in pdfs:
+            new.update(int(x) for x in pdf["turn_idx"].tolist())
+            ts = pdf["ts"].max()
+            if not pd.isna(ts) and (max_ts is None or ts > max_ts):
+                max_ts = ts
+        new -= prev
+        all_seen = sorted(prev | new)
+        rows = [
+            (conv_id, i, j)
+            for i, j in zip(all_seen, all_seen[1:])
+            if j == i + 1 and (i in new or j in new)
+        ]
+        state.update((list(all_seen),))
+        horizon = (
+            int(max_ts.value // 1_000_000) if max_ts is not None
+            else state.getCurrentWatermarkMs()
+        ) + horizon_ms
+        # the timeout must sit beyond the current watermark; rows
+        # at/before the watermark were almost-late, so their horizon
+        # could otherwise already have passed
+        state.setTimeoutTimestamp(max(horizon, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(rows, columns=["conv_id", "src_idx", "dst_idx"])
+
+    return _next_edges_group
 
 
-def next_edge_triples_stream(t: DataFrame) -> DataFrame:
+def next_edge_triples_stream(
+    t: DataFrame, watermark: str = WATERMARK, horizon_ms: int = _WATERMARK_MS
+) -> DataFrame:
+    """`watermark`/`horizon_ms` set the late-data window; it must cover
+    the data's intra-conversation event-time gaps (a backfill over
+    months-spanning conversations passes a wide horizon; the 2 h
+    default is the continuous-deployment setting)."""
     pairs = (
-        t.withWatermark("ts", WATERMARK)
+        t.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _next_edges_group,
+            _make_next_edges_group(horizon_ms),
             outputStructType=_NEXT_OUT_SCHEMA,
             stateStructType=_NEXT_STATE_SCHEMA,
             outputMode="append",
@@ -197,6 +209,7 @@ def next_edge_triples_stream(t: DataFrame) -> DataFrame:
 def kg_stream(
     spark: SparkSession, src_dir: str, name: str = "kg_stream_triples",
     max_files_per_trigger: int | None = 1,
+    watermark: str = WATERMARK, horizon_ms: int = _WATERMARK_MS,
 ) -> DataFrame:
     """Stream transcript parquet files from `src_dir` into triples
     (memory sink for tests; a real deployment writes parquet/Iceberg
@@ -205,7 +218,9 @@ def kg_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
-    triples = stateless_triples(stream).unionByName(next_edge_triples_stream(stream))
+    triples = stateless_triples(stream).unionByName(
+        next_edge_triples_stream(stream, watermark, horizon_ms)
+    )
     q = (
         triples.writeStream.format("memory")
         .queryName(name)
@@ -220,3 +235,60 @@ def kg_stream(
             "300s — the memory table would be partial"
         )
     return spark.table(name)
+
+
+def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated streaming entry: materialize the transcripts as a
+    3-file parquet stream source (conversations SPAN the file
+    boundaries, so the stateful cross-batch NEXT operator is genuinely
+    exercised), run the incremental KG stream over it, and return the
+    distinct streamed triple set — which must hash-match the BATCH
+    flagship ∪ entity oracle (the stream ≡ batch contract, checked by
+    the driver's DuckDB gate, not just by pytest)."""
+    import hashlib
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..transcripts import transcripts_df
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src = f"/tmp/prec-spark-stream-src-{tag}"
+    t = transcripts_df(spark, sf_dir)
+    # 3 micro-batches split by EVENT TIME (fixed cutoffs inside the
+    # lineitem shipdate range) — a log replay arrives in rough event
+    # order, and only then does a bounded late horizon let the global
+    # watermark advance without dropping anything. Conversations near
+    # a cutoff straddle batches, exercising the stateful cross-batch
+    # NEXT operator.
+    c1, c2 = F.lit("1994-07-01").cast("timestamp_ntz"), F.lit(
+        "1996-07-01"
+    ).cast("timestamp_ntz")
+    for i, cond in enumerate(
+        (F.col("ts") < c1, (F.col("ts") >= c1) & (F.col("ts") < c2),
+         F.col("ts") >= c2)
+    ):
+        t.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    import glob
+    import os
+    import shutil
+
+    for f in glob.glob(f"{src}/batch*.parquet"):
+        os.remove(f)
+    for i in range(3):
+        (part,) = glob.glob(f"{src}/f{i}/part-*.parquet")
+        shutil.move(part, f"{src}/batch{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+
+    # late horizon 200 days > the max intra-conversation event-time
+    # gap (lineitem ship dates sit within ~120 days of the order
+    # date), so no turn is ever late and no conversation is evicted
+    # before its last turn — with the 2 h deployment default the
+    # watermark would (correctly for that setting) drop months-late
+    # turns and the stream would NOT equal the batch
+    name = f"kg_stream_gate_{uuid.uuid4().hex[:8]}"
+    streamed = kg_stream(
+        spark, src, name=name,
+        watermark="200 days", horizon_ms=200 * 24 * 3600 * 1000,
+    )
+    return streamed.distinct()
