@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..text.analysis import doc_fingerprint, doc_fingerprint_oracle_sql, fingerprint_df
+from ..text.analysis import doc_fingerprint, doc_fingerprint_oracle_sql
 
 BANDS = 4
 BAND_BITS = 16
@@ -204,5 +204,4 @@ __all__ = [
     "dedup_simhash_hamming_oracle_sql",
     "dedup_simhash_oracle_sql",
     "simhash_hamming_groups_df",
-    "fingerprint_df",
 ]
