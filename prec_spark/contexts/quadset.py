@@ -66,10 +66,11 @@ class QuadSet:
         return any(isinstance(q.s, Quad) or isinstance(q.o, Quad) for q in self.quads)
 
     def get_paths_from(self, s: Term, ignore: Iterable[Term] = ()) -> list[Quad]:
-        """getPathsFrom (path-travelling.ts:77-90): default-graph quads
-        from `s` whose predicate is not in the ignore list."""
+        """getPathsFrom (path-travelling.ts:77-80): quads from `s` in ANY
+        graph (the reference's dataset.match(subject) leaves the graph
+        position a wildcard) whose predicate is not in the ignore list."""
         skip = set(ignore)
-        return [q for q in self.match(s=s, g=DEFAULT_GRAPH) if q.p not in skip]
+        return [q for q in self.match(s=s) if q.p not in skip]
 
     def follow_or_null(self, s: Term, p: Term) -> Term | None:
         """followOrNull (path-travelling.ts:109-124): the unique object,
@@ -132,14 +133,26 @@ class QuadSet:
 
         first, rest = NamedNode(RDF_NS + "first"), NamedNode(RDF_NS + "rest")
         nil = NamedNode(RDF_NS + "nil")
+        rdf_type = NamedNode(RDF_NS + "type")
+        rdf_list = NamedNode(RDF_NS + "List")
         items: list[Term] = []
         node = head
         to_remove: list[Quad] = []
         while node != nil:
             outgoing = self.match(s=node, g=DEFAULT_GRAPH)
             incoming = self.match(o=node, g=DEFAULT_GRAPH)
+            # the reference also rejects a list node used in predicate
+            # position anywhere (path-travelling.ts:255)
+            if self.match(p=node):
+                raise ValueError(f"invalid RDF list node {node.nt()}")
+            # a node may carry an explicit `rdf:type rdf:List` triple:
+            # 3 outgoing with it, 2 without (path-travelling.ts:258-262)
+            is_list = any(
+                q.p == rdf_type and q.o == rdf_list for q in outgoing
+            )
+            expected_out = 3 if is_list else 2
             expected_in = 0 if node == head else 1
-            if len(incoming) != expected_in or len(outgoing) != 2:
+            if len(incoming) != expected_in or len(outgoing) != expected_out:
                 raise ValueError(f"invalid RDF list node {node.nt()}")
             f = self.follow_through(node, first)
             r = self.follow_through(node, rest)

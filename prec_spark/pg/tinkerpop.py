@@ -116,7 +116,9 @@ def _enc_scalar(v: Column) -> Column:
             ),
         )
         .when(
-            sch == "BIGINT",
+            # JSON integers beyond int64 surface as DECIMAL(p,0); keep them
+            # xsd:integer via string extraction like the driver's str(int)
+            (sch == "BIGINT") | sch.rlike(r"^DECIMAL\(\d+,0\)$"),
             F.concat(
                 F.lit('"'),
                 F.variant_get(v, "$", "string"),
@@ -124,6 +126,10 @@ def _enc_scalar(v: Column) -> Column:
             ),
         )
         .when(
+            # Domain restriction: Java Double.toString equals Python repr
+            # only for plain decimal forms — a JSON double outside that
+            # range (e.g. 1e20) renders '1.0E20' here vs '1e+20' in the
+            # driver loader. Property values in the PG corpus stay plain.
             sch.isin("DOUBLE", "FLOAT") | sch.startswith("DECIMAL"),
             F.concat(
                 F.lit('"'),
@@ -220,6 +226,9 @@ def tinkerpop_read_json(
             "value_pos",
             _enc_props_col(F.col("meta_v")).alias("meta"),
         )
+        # an explicit '"meta": {}' is falsy to the driver loader's
+        # occ.get('meta') check — drop the empty-object rows here too
+        .filter(F.size(F.col("meta")) > 0)
     )
 
     edges = raw.filter(typ == "edge").select(

@@ -31,6 +31,26 @@ def _mem_bytes(mem: str) -> int:
     return int(m) if m.isdigit() else 2**63
 
 
+def _running_jvm_max_heap() -> int | None:
+    """Max heap of an already-launched py4j gateway JVM, if any.
+
+    spark.driver.memory only takes effect at JVM LAUNCH: once any
+    SparkContext has started the gateway, later builders inherit that
+    heap no matter what they request (stopping the context does not
+    stop the JVM). Sizing decisions must therefore use the running
+    JVM's Runtime.maxMemory(), not the requested conf string.
+    """
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is None:
+        return None
+    try:
+        return int(gw.jvm.java.lang.Runtime.getRuntime().maxMemory())
+    except Exception:
+        return None
+
+
 def build_session(
     app_name: str = "prec-spark",
     master: str | None = None,
@@ -67,7 +87,14 @@ def build_session(
     driver_mem = (extra_conf or {}).get(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
-    small_heap = _mem_bytes(driver_mem) <= 4 * 1024**3
+    # If the gateway JVM is already up, the requested driver memory is
+    # moot — judge the heap we actually have. (Runtime.maxMemory() is
+    # slightly under -Xmx; a 4g launch reads ~3.8-4.0 GiB, still small.)
+    actual_heap = _running_jvm_max_heap()
+    if actual_heap is not None:
+        small_heap = actual_heap <= 4 * 1024**3
+    else:
+        small_heap = _mem_bytes(driver_mem) <= 4 * 1024**3
     if master.startswith("local") and small_heap:
         # single-JVM mode shares one small heap between driver and all
         # executor threads; the default (up to 32 MiB) task page size

@@ -47,8 +47,13 @@ _NEXT_STATE_SCHEMA = "seen ARRAY<INT>"
 
 #: late-data horizon; per-conversation NEXT state is evicted once the
 #: event-time watermark passes the conversation's last turn by this
-#: much (rows later than that are dropped by the watermark anyway, so
-#: eviction cannot lose pairs)
+#: much. Eviction trade-off: a turn arriving with a FRESH (beyond-
+#: watermark) event time after its conversation's state was evicted
+#: rebuilds empty state, so the bridging NEXT pair across an intra-
+#: conversation gap wider than this horizon is silently never emitted
+#: — size the horizon to cover the data's max intra-conversation gap
+#: (the 200-day gate horizon does exactly that for the transcripts
+#: corpus, whose widest gap is ~120 days).
 WATERMARK = "2 hours"
 _WATERMARK_MS = 2 * 3600 * 1000
 

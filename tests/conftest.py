@@ -33,14 +33,24 @@ _state: dict = {"shared": None}
 
 
 def _build(app_name: str, mod: str | None = None):
-    from prec_spark.session import build_session
+    from prec_spark.session import _mem_bytes, _running_jvm_max_heap, build_session
 
     over = _ISOLATED_CONF.get(mod or "", {})
+    master = over.get("master", "local[4]")
+    want_mem = over.get("memory", "4g")
+    # spark.driver.memory binds at JVM launch: in a full run an earlier
+    # (4g) module has already launched the gateway, so an 8g request
+    # here is silently ignored. build_session re-applies the small-heap
+    # guards in that case; we additionally cap parallelism so a module
+    # tuned for a big heap doesn't run wide on the small one.
+    actual = _running_jvm_max_heap()
+    if actual is not None and actual < _mem_bytes(want_mem):
+        master = "local[8]"
     return build_session(
         app_name=app_name,
-        master=over.get("master", "local[4]"),
+        master=master,
         shuffle_partitions=over.get("shuffle_partitions", 8),
-        extra_conf={"spark.driver.memory": over.get("memory", "4g")},
+        extra_conf={"spark.driver.memory": want_mem},
     )
 
 

@@ -47,12 +47,14 @@ def test_get_paths_from_ignores():
         [
             Quad(n("s"), n("p1"), n("o1")),
             Quad(n("s"), n("p2"), n("o2")),
-            Quad(n("s"), n("p1"), n("o3"), n("g")),  # named graph: excluded
+            # named graph: INCLUDED — the reference's dataset.match(subject)
+            # leaves the graph position a wildcard (path-travelling.ts:77-80)
+            Quad(n("s"), n("p1"), n("o3"), n("g")),
             Quad(n("t"), n("p1"), n("o4")),
         ]
     )
     got = qs.get_paths_from(n("s"), ignore=[n("p2")])
-    assert [(q.p, q.o) for q in got] == [(n("p1"), n("o1"))]
+    assert [(q.p, q.o) for q in got] == [(n("p1"), n("o1")), (n("p1"), n("o3"))]
 
 
 def test_follow_or_null():
@@ -128,3 +130,35 @@ def test_extract_and_delete_rdf_list():
     qs3 = QuadSet(_list_quads(head, items) + [Quad(head, n("extra"), n("x"))])
     with pytest.raises(ValueError, match="invalid RDF list"):
         qs3.extract_and_delete_rdf_list(head)
+
+
+def test_extract_rdf_list_typed_nodes():
+    """A node annotated `rdf:type rdf:List` is valid (3 outgoing) and the
+    type triple is deleted with the list (path-travelling.ts:258-276)."""
+    rdf_type, rdf_list = NamedNode(RDF_NS + "type"), NamedNode(RDF_NS + "List")
+    head = BlankNode("l0")
+    items = [Literal("a"), Literal("b")]
+    qs = QuadSet(_list_quads(head, items) + [Quad(head, rdf_type, rdf_list)])
+    assert qs.extract_and_delete_rdf_list(head) == items
+    assert len(qs) == 0  # the rdf:type triple is removed too
+
+    # the type triple alone does NOT excuse a missing first/rest
+    qs2 = QuadSet(
+        [
+            Quad(head, rdf_type, rdf_list),
+            Quad(head, FIRST, Literal("a")),
+            # no rdf:rest
+        ]
+    )
+    with pytest.raises(ValueError, match="invalid RDF list"):
+        qs2.extract_and_delete_rdf_list(head)
+
+
+def test_extract_rdf_list_predicate_position_rejected():
+    """A list node used in predicate position anywhere invalidates the
+    list (path-travelling.ts:255)."""
+    head = BlankNode("l0")
+    items = [Literal("a")]
+    qs = QuadSet(_list_quads(head, items) + [Quad(n("x"), head, n("y"))])
+    with pytest.raises(ValueError, match="invalid RDF list"):
+        qs.extract_and_delete_rdf_list(head)

@@ -37,3 +37,28 @@ def test_pipeline_partial_resume(spark, sf_dir, tmp_path):
     assert by_stage["transcripts"].resumed
     assert not by_stage["kg_triples"].resumed
     assert triples.count() > 0
+
+
+def test_small_heap_guards_survive_gateway_reuse(spark):
+    """spark.driver.memory binds at JVM launch: a later build_session
+    requesting 8g on a gateway launched at 4g must still apply the
+    small-heap guards (round-3 ADVICE, conftest isolation gap)."""
+    from prec_spark.session import _running_jvm_max_heap, build_session
+
+    actual = _running_jvm_max_heap()
+    assert actual is not None  # `spark` fixture launched the gateway
+    if actual > 4 * 1024**3:
+        import pytest
+
+        pytest.skip("gateway launched with a big heap; guard not applicable")
+    spark.stop()
+    s2 = build_session(
+        app_name="heap-reuse-probe",
+        master="local[2]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    try:
+        assert s2.conf.get("spark.buffer.pageSize") == "1m"
+    finally:
+        s2.stop()

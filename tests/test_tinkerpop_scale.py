@@ -99,3 +99,40 @@ def test_reader_parity_100k(spark, corpus):
     meta2, meta1 = _norm_meta(m2), _norm_meta(m1)
     assert len(meta1) > N_VERTICES // 10  # non-vacuous meta side table
     assert meta2 == meta1
+
+
+def test_reader_parity_edge_cases(spark, tmp_path):
+    """Round-3 ADVICE parity gaps: integers beyond int64 must stay
+    xsd:integer (the VARIANT reader sees them as DECIMAL(p,0)), and an
+    explicit '"meta": {}' must be skipped like the driver's falsy
+    occ.get('meta') check."""
+    docs = [
+        {
+            "type": "vertex",
+            "id": "0",
+            "label": "thing",
+            "properties": {
+                "big": [{"value": 123456789012345678901234567890}],
+                "neg": [{"value": -98765432109876543210}],
+                "name": [{"value": "x", "meta": {}}],  # empty meta: no row
+                "kept": [{"value": "y", "meta": {"k": 1}}],
+            },
+        }
+    ]
+    p = tmp_path / "edge.jsonl"
+    with open(p, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    n1, e1, m1 = tinkerpop_to_pg(spark, docs)
+    n2, e2, m2 = tinkerpop_read_json(spark, str(p))
+    assert _norm_nodes(n2) == _norm_nodes(n1)
+    assert _norm_meta(m2) == _norm_meta(m1)
+    props = {k: v for k, v in n2.collect()[0].properties.items()}
+    assert props["big"] == [
+        '"123456789012345678901234567890"'
+        '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ]
+    assert props["neg"] == [
+        '"-98765432109876543210"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ]
+    assert {(r.holder_id, r.key) for r in m2.collect()} == {("vertex:0", "kept")}
