@@ -22,6 +22,8 @@ import struct
 import wave
 import zlib
 
+import numpy as np
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -86,34 +88,79 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated PNG")
     raw = zlib.decompress(idat)
     stride = width * channels
-    bpp = channels
-    out = bytearray()
-    prev = bytearray(stride)
-    p = 0
-    for _y in range(height):
-        ftype = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out += line
-        prev = line
-    return width, height, channels, bytes(out)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = _unfilter_rows(scan[:, 0], scan[:, 1:], channels)
+    return width, height, channels, out.tobytes()
+
+
+def _unfilter_rows(ftypes, lines, bpp: int) -> "np.ndarray":
+    """Invert PNG scanline filters over (height, stride) uint8 rows.
+
+    Rows must go in order (Up/Average/Paeth read the previous DECODED
+    row), but within a row the common filters vectorize: None is a
+    copy, Up is a wrapping uint8 add against the previous row, and Sub
+    — decoded[x] = (raw[x] + decoded[x-bpp]) mod 256 — is a per-lane
+    prefix sum mod 256. Average and Paeth carry a serial left-neighbor
+    dependency through a floor-divide / predictor branch, so they keep
+    a scalar loop; at bpp<=4 per-element numpy overhead exceeds the
+    scalar cost, and encoders rarely pick them for synthetic content.
+    """
+    height, stride = lines.shape
+    out = np.empty_like(lines)
+    ft = np.asarray(ftypes)
+    bad = set(np.unique(ft).tolist()) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"bad PNG filter type {bad.pop()}")
+    # Sub rows depend on nothing outside their own row, so ALL of them
+    # decode in one batched per-lane horizontal prefix sum up front —
+    # uint8 accumulation wraps, which IS the mod 256 — regardless of how
+    # they interleave with other filters.
+    sub = ft == 1
+    if sub.any():
+        runs = lines[sub]
+        out[sub] = np.cumsum(
+            runs.reshape(len(runs), -1, bpp), axis=1, dtype=np.uint8
+        ).reshape(len(runs), stride)
+    prev = np.zeros(stride, dtype=np.uint8)
+    y = 0
+    while y < height:
+        f = int(ft[y])
+        y2 = y + 1
+        if f in (0, 1, 2):  # extend the run: one numpy op per run
+            while y2 < height and ft[y2] == f:
+                y2 += 1
+        run = lines[y:y2]
+        if f == 0:
+            out[y:y2] = run
+        elif f == 1:
+            pass  # decoded in the batched Sub pass above
+        elif f == 2:
+            if y2 - y == 1:  # lone Up row: in-place wrapping add
+                np.add(run[0], prev, out=out[y])
+            else:
+                # an Up run is a vertical prefix sum seeded by prev
+                out[y:y2] = np.cumsum(run, axis=0, dtype=np.uint8) + prev
+        else:
+            # Average / Paeth: serial left-neighbor dependency through a
+            # floor-divide / predictor branch — scalar per row (at
+            # bpp<=4 numpy per-element overhead exceeds the scalar cost)
+            ln = run[0].tolist()
+            pv = prev.tolist()
+            if f == 3:
+                for i in range(stride):
+                    a = ln[i - bpp] if i >= bpp else 0
+                    ln[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = ln[i - bpp] if i >= bpp else 0
+                    c = pv[i - bpp] if i >= bpp else 0
+                    ln[i] = (ln[i] + _paeth(a, pv[i], c)) & 0xFF
+            out[y] = ln
+        prev = out[y2 - 1]
+        y = y2
+    return out
 
 
 # ------------------------------------------------------------------ BMP
@@ -123,14 +170,10 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError("rgb buffer size mismatch")
     pad = (-(width * 3)) % 4
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        row = bytearray()
-        for x in range(width):
-            r, g, b = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
-            row += bytes((b, g, r))  # BGR on disk
-        rows.append(bytes(row) + b"\x00" * pad)
-    pixels = b"".join(rows)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, width * 3 + pad), dtype=np.uint8)
+    rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, -1)  # bottom-up, BGR
+    pixels = rows.tobytes()
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
     return header + info + pixels
@@ -150,39 +193,43 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     height = abs(height_raw)
     pad = (-(width * 3)) % 4
     stride = width * 3 + pad
-    out = bytearray(width * height * 3)
-    for row_i in range(height):
-        y = height - 1 - row_i if bottom_up else row_i
-        base = offset + row_i * stride
-        for x in range(width):
-            b, g, r = data[base + x * 3 : base + x * 3 + 3]
-            o = (y * width + x) * 3
-            out[o : o + 3] = bytes((r, g, b))
-    return width, height, 3, bytes(out)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=height * stride, offset=offset
+    ).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return width, height, 3, px[:, :, ::-1].tobytes()  # BGR -> RGB
 
 
 # ------------------------------------------------------------------ WAV
 
-def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """PCM 16-bit mono WAV."""
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """PCM 16-bit mono WAV (samples: ints or an int array)."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
-    """-> (n_channels, sample_rate, n_frames, samples interleaved)."""
+def decode_wav_np(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """-> (n_channels, sample_rate, n_frames, int16 samples interleaved)."""
     with wave.open(io.BytesIO(data), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM supported")
         n = w.getnframes()
         frames = w.readframes(n)
-        samples = list(struct.unpack(f"<{n * w.getnchannels()}h", frames))
+        samples = np.frombuffer(frames, dtype="<i2", count=n * w.getnchannels())
         return w.getnchannels(), w.getframerate(), n, samples
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """-> (n_channels, sample_rate, n_frames, samples interleaved)."""
+    ch, rate, n, samples = decode_wav_np(data)
+    return ch, rate, n, samples.tolist()
 
 
 def sniff_kind(data: bytes) -> str:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,7 +33,7 @@ from ..session import load_table
 from .codecs import (
     decode_bmp,
     decode_png,
-    decode_wav,
+    decode_wav_np,
     encode_bmp,
     encode_png,
     encode_wav,
@@ -46,20 +47,24 @@ MEDIA_FEATURE_SCHEMA = (
 
 
 def _rgb(doc_id: int, w: int, h: int) -> bytes:
-    buf = bytearray()
-    for y in range(h):
-        for x in range(w):
-            buf.append((doc_id + x + 2 * y) % 256)
-            buf.append((2 * doc_id + 3 * x + y) % 256)
-            buf.append((3 * doc_id + 5 * x + 7 * y) % 256)
-    return bytes(buf)
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            (doc_id + x + 2 * y) % 256,
+            (2 * doc_id + 3 * x + y) % 256,
+            (3 * doc_id + 5 * x + 7 * y) % 256,
+        ],
+        axis=-1,
+    )
+    return px.astype(np.uint8).tobytes()
 
 
 def synth_payload(doc_id: int) -> bytes:
     m = doc_id % 3
     if m == 0:
         n = 400 + doc_id % 100
-        samples = [((31 * doc_id + 17 * i) % 4096) - 2048 for i in range(n)]
+        i = np.arange(n, dtype=np.int64)
+        samples = ((31 * doc_id + 17 * i) % 4096) - 2048
         return encode_wav(samples)
     if m == 1:
         w, h = 4 + doc_id % 13, 3 + doc_id % 11
@@ -87,11 +92,11 @@ def media_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _features_of(payload: bytes) -> dict:
     kind = sniff_kind(payload)
     if kind == "audio/wav":
-        _ch, rate, n, samples = decode_wav(payload)
+        _ch, rate, n, samples = decode_wav_np(payload)
         return {
             "kind": kind, "width": None, "height": None, "pixel_sum": None,
             "n_frames": n, "sample_rate": rate,
-            "sample_abs_sum": sum(abs(s) for s in samples),
+            "sample_abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
         }
     if kind == "image/png":
         w, h, _c, pixels = decode_png(payload)
@@ -100,7 +105,8 @@ def _features_of(payload: bytes) -> dict:
     else:
         raise ValueError(f"unknown media kind: {payload[:8]!r}")
     return {
-        "kind": kind, "width": w, "height": h, "pixel_sum": sum(pixels),
+        "kind": kind, "width": w, "height": h,
+        "pixel_sum": int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64)),
         "n_frames": None, "sample_rate": None, "sample_abs_sum": None,
     }
 
