@@ -182,22 +182,39 @@ def _ceiling_probes(cores: int) -> dict[str, float]:
     return out
 
 
-def scaling_run(cores: int, sf_dir: str, mult: int, reps: int):
+def _proc_stat_busy() -> float:
+    """Whole-machine busy CPU seconds (user+nice+system+irq+softirq+steal)
+    from /proc/stat; deltas around a timed run give the run's true CPU
+    cost regardless of how many JVMs did the work."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    user, nice, system, _idle, _iowait, irq, softirq, steal = vals
+    hz = os.sysconf("SC_CLK_TCK")
+    return (user + nice + system + irq + softirq + steal) / hz
+
+
+def scaling_run(master: str, cores: int, sf_dir: str, mult: int, reps: int):
     # AQE off for the warm fixed-size loop: re-running an identical job
     # gains nothing from runtime re-planning, and AQE's per-stage
     # materialization adds ~10% wall at 32 cores (measured 52.7 ->
     # 47.7 s at mult=48). The driver bench and production keep AQE on.
-    spark = _build(f"local[{cores}]", 2 * cores)
+    spark = _build(master, 2 * cores)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         kg = _kg(spark, sf_dir, mult, cores)
         n = kg.count()  # warm (JIT, python workers)
         best = 1e18
+        best_cpu = 1e18
         for _ in range(reps):
+            c0 = _proc_stat_busy()
             t0 = time.time()
             n = kg.count()
-            best = min(best, time.time() - t0)
-        return n, best
+            wall = time.time() - t0
+            if wall < best:
+                best = wall
+                best_cpu = _proc_stat_busy() - c0
+        return n, best, best_cpu
     finally:
         spark.stop()
 
@@ -210,19 +227,73 @@ def main():
     if "--scaling" in sys.argv:
         mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "6"))
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-        lo = max(2, cpus // 4)
+        if "--cluster" in sys.argv:
+            # SEPARATE-JVM scaling: local-cluster[n,c,m] launches real
+            # standalone Worker/executor processes — own heaps, GC, and
+            # shuffle writers — so N vs 4N is EXECUTORS (the north
+            # rule's framing), not threads sharing one JVM. Per-executor
+            # cores stay fixed; only the executor count scales.
+            cpe = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_PER_EXEC", "4"))
+            mem_mb = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_MEM_MB", "6144"))
+            hi_exec = max(1, cpus // cpe)
+            lo_exec = max(1, hi_exec // 4)
+            os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+            # standalone Workers ignore spark.local.dir (the cluster
+            # manager overrides it); the env var routes executor shuffle
+            # files to tmpfs like the local-mode conf does
+            os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/prec-spark-bench")
+            levels = [
+                ("N", f"local-cluster[{lo_exec},{cpe},{mem_mb}]", lo_exec * cpe),
+                ("4N", f"local-cluster[{hi_exec},{cpe},{mem_mb}]", hi_exec * cpe),
+            ]
+        else:
+            lo = max(2, cpus // 4)
+            levels = [
+                ("N", f"local[{lo}]", lo),
+                ("4N", f"local[{cpus}]", cpus),
+            ]
         results = {}
-        for label, n_cores in [("N", lo), ("4N", cpus)]:
-            triples, wall = scaling_run(n_cores, sf_dir, mult, reps)
+        for label, master, n_cores in levels:
+            triples, wall, cpu_sec = scaling_run(master, n_cores, sf_dir, mult, reps)
             results[label] = {
                 "cores": n_cores,
+                "master": master,
                 "triples": triples,
                 "wall_sec": round(wall, 2),
+                "cpu_sec": round(cpu_sec, 1),
                 "triples_per_sec": round(triples / wall, 1),
             }
         eff = (
             results["4N"]["triples_per_sec"] / results["N"]["triples_per_sec"]
         ) / (results["4N"]["cores"] / results["N"]["cores"])
+        if "--cluster" in sys.argv:
+            # separate-JVM mode reports RAW efficiency plus the per-level
+            # CPU cost of the identical work (the cpu_sec ratio shows
+            # whether a sub-1.0 raw number is per-core CPU inflation —
+            # memory-system contention — or idle cores)
+            cpu_inflation = (
+                results["4N"]["cpu_sec"] / results["N"]["cpu_sec"]
+                if results["N"]["cpu_sec"]
+                else None
+            )
+            print(
+                json.dumps(
+                    {
+                        "mode": "local-cluster (separate executor JVMs)",
+                        "cores_per_executor": int(
+                            os.environ.get("SPARK_GRAFT_BENCH_CORES_PER_EXEC", "4")
+                        ),
+                        "scaling": results,
+                        "efficiency": round(eff, 3),
+                        "cpu_inflation_4N_vs_N": round(cpu_inflation, 3)
+                        if cpu_inflation
+                        else None,
+                        "input_multiplier": mult,
+                        "sf": sf,
+                    }
+                )
+            )
+            return
         probes_lo, probes_hi = _ceiling_probes(lo), _ceiling_probes(cpus)
         ratio = cpus / lo
         ceilings = {

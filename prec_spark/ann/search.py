@@ -50,6 +50,9 @@ K_CELLS = 10
 #: a full corpus pass at 100 TB.
 KMEANS_ITERS = 2
 NPROBE = 2
+#: Lloyd training sample bound: min(N, SAMPLE_PER_CELL * k_cells)
+#: vectors (deterministic md5-order prefix, oracle-mirrored)
+SAMPLE_PER_CELL = 256
 
 
 def _k_cells(n: int) -> int:
@@ -123,22 +126,36 @@ def train_kmeans(
     """Deterministic k-means: seeds = first k_cells vectors ordered by
     md5(vec_id) (a portable hash both engines compute identically),
     then KMEANS_ITERS Lloyd iterations with per-dimension means rounded
-    to 6 dp. Returns (k, cent)."""
+    to 6 dp. Returns (k, cent).
+
+    Training runs on a BOUNDED SAMPLE — the first
+    min(N, SAMPLE_PER_CELL x k_cells) vectors in the same deterministic
+    md5 order as the seeds (oracle-mirrored) — so a 10^9-vector corpus
+    never takes full Lloyd passes; only the single final assignment
+    (in ann_ivf) touches every vector. Per-dimension means come from a
+    posexplode over the sample + one (cell, dim) hash agg, rebuilt into
+    arrays with collect_list — no per-dimension avg column fanout, so
+    dim=1536 stays far from codegen's 100-aggregate cliff."""
     # orderBy + limit plans as a parallel TakeOrderedAndProject (each
     # partition keeps its top-K, the driver merges) — NOT a global
     # no-partition Window, which would sort the entire corpus in one
-    # task. Same K rows, same k order as the oracle's row_number CTE.
-    seed_rows = (
+    # task. Same rows, same order as the oracle's row_number CTE.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sample_n = SAMPLE_PER_CELL * k_cells
+    train = (
         vecs.select(
             F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
         )
         .orderBy("h", "vec_id")
-        .limit(k_cells)
-        .collect()
+        .limit(sample_n)
+        # the global limit funnels into one partition; spread the
+        # sample back out before the crossJoin-heavy Lloyd iterations
+        .repartition(n_parts)
+        .cache()
     )
+    seed_rows = train.orderBy("h", "vec_id").limit(k_cells).collect()
     seed_rows.sort(key=lambda r: (r.h, r.vec_id))
     cents = {k: list(r.v) for k, r in enumerate(seed_rows)}
-    dim = len(seed_rows[0].v) if seed_rows else 0
     schema = "k INT, cent ARRAY<DOUBLE>"
     # per-iteration centroids go through the driver (K x dim rounded
     # doubles — bounded metadata, the MLlib KMeans pattern; a fully
@@ -146,22 +163,24 @@ def train_kmeans(
     # re-ships the whole nested plan as a 2.6 MiB task binary)
     for _ in range(KMEANS_ITERS):
         cdf = spark.createDataFrame(sorted(cents.items()), schema)
-        assigned = _assign(vecs, cdf)
-        # per-dim means as avg columns — one partial-agg shuffle of
-        # K x dim doubles, no posexplode of the corpus
+        assigned = _assign(train.select("vec_id", "v"), cdf)
         new_rows = (
-            assigned.groupBy("cell")
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
             .agg(
-                *[
-                    F.round(F.avg(F.element_at("v", j)), 6).alias(f"m{j}")
-                    for j in range(1, dim + 1)
-                ]
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
             )
             .collect()
         )
         for r in new_rows:
-            cents[r.cell] = [r[f"m{j}"] for j in range(1, dim + 1)]
+            cents[r.cell] = list(r.cent)
         # empty cells keep their previous centroid
+    train.unpersist()
     return spark.createDataFrame(sorted(cents.items()), schema)
 
 
@@ -253,7 +272,7 @@ def _sql_assign(cent_table: str, out: str) -> str:
              PARTITION BY v.vec_id
              ORDER BY list_inner_product(c.cent, c.cent)
                       - 2 * list_inner_product(v.emb, c.cent), c.k) AS rn
-    FROM v CROSS JOIN {cent_table} c) WHERE rn = 1
+    FROM tr v CROSS JOIN {cent_table} c) WHERE rn = 1
 ), {out}m AS (
   SELECT cell AS k, dim, round(avg(emb[dim]), 6) AS m
   FROM {out} CROSS JOIN dims
@@ -282,6 +301,14 @@ dims AS (
 kcount AS (
   -- max(K_CELLS, ceil(sqrt(N))) — the engine's _k_cells heuristic
   SELECT greatest({K_CELLS}, CAST(ceil(sqrt(count(*))) AS INT)) AS kc FROM v
+),
+tr AS (
+  -- the engine's bounded training sample: first SAMPLE_PER_CELL * K
+  -- vectors in deterministic md5 order (train_kmeans mirror)
+  SELECT vec_id, emb FROM (
+    SELECT vec_id, emb,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rs
+    FROM v) WHERE rs <= (SELECT {SAMPLE_PER_CELL} * kc FROM kcount)
 ),
 c0 AS (
   SELECT k, cent FROM (

@@ -151,6 +151,108 @@ def simhash_hamming_groups_df(fp: DataFrame) -> DataFrame:
     )
 
 
+def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Transitive-closure variant of simhash_hamming_groups_df:
+    canonical_doc_id = min doc over the CONNECTED COMPONENT of the
+    verified radius-<=3 fingerprint graph, so chains A-B-C with
+    d(A,C) > 3 collapse into ONE group (the neighborhood variant gives
+    them different canonicals per doc — both semantics are pinned by
+    tests/test_simhash_hamming.py).
+
+    Min-label propagation to fixpoint: each round takes the min label
+    over a fingerprint's neighbors, bounded by max_iters and stopped
+    early when no label changes (a `count` action per round). Rounds
+    needed = component diameter; near-dup chains in web corpora are
+    short, and every round is edge-partitioned shuffles over the
+    DISTINCT-fingerprint graph, never per-doc."""
+    fp = fp.select("doc_id", "simhash64").localCheckpoint()
+    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
+    verified = band_candidates(reps).filter(
+        _hamming_col("fa", "fb") <= HAMMING_MAX
+    )
+    edges = (
+        verified.select(F.col("fa").alias("f"), F.col("fb").alias("g"))
+        .unionByName(
+            verified.select(F.col("fb").alias("f"), F.col("fa").alias("g"))
+        )
+        .localCheckpoint()
+    )
+    labels = reps.select("simhash64", F.col("rep_doc").alias("label"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["g"] == labels["simhash64"])
+            .groupBy("f")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["simhash64"] == nbr["f"], "left")
+            .select(
+                "simhash64",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate the per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("simhash64", F.col("label").alias("old")), "simhash64")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return fp.join(labels, "simhash64").select(
+        "doc_id", "simhash64", F.col("label").alias("canonical_doc_id")
+    )
+
+
+def dedup_simhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash64, canonical_doc_id) — TRANSITIVE near-dup
+    groups (connected components of the radius-3 fingerprint graph)."""
+    return simhash_cc_groups_df(doc_fingerprint(spark, sf_dir))
+
+
+def dedup_simhash_cc_oracle_sql() -> str:
+    """Recursive-CTE reachability closure — exact transitive groups on
+    the oracle's (small) distinct-fingerprint graph."""
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT simhash64, rep_doc, {b} AS band,"
+        f" substr(simhash64, {1 + b * BAND_BITS}, {BAND_BITS}) AS key FROM reps"
+        for b in range(BANDS)
+    )
+    ham = _hamming_sql("c.fa", "c.fb")
+    return f"""
+WITH RECURSIVE fp AS ({doc_fingerprint_oracle_sql()}),
+reps AS (
+  SELECT simhash64, min(doc_id) AS rep_doc FROM fp GROUP BY simhash64
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.simhash64 AS fa, b.simhash64 AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.simhash64 < b.simhash64
+), verified AS (
+  SELECT * FROM cand c WHERE {ham} <= {HAMMING_MAX}
+), edges AS (
+  SELECT fa AS f, fb AS g FROM verified
+  UNION ALL
+  SELECT fb AS f, fa AS g FROM verified
+), reach(f, r) AS (
+  SELECT simhash64, simhash64 FROM reps
+  UNION
+  SELECT e.f, reach.r FROM edges e JOIN reach ON e.g = reach.f
+), canon AS (
+  SELECT reach.f AS simhash64, min(r2.rep_doc) AS canonical_doc_id
+  FROM reach JOIN reps r2 ON reach.r = r2.simhash64
+  GROUP BY reach.f
+)
+SELECT fp.doc_id, fp.simhash64, canon.canonical_doc_id
+FROM fp JOIN canon ON fp.simhash64 = canon.simhash64
+"""
+
+
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, canonical_doc_id) — canonical near-dup
     groups at Hamming radius 3, found exactly via 4x16-bit LSH bands
@@ -199,9 +301,12 @@ __all__ = [
     "BAND_BITS",
     "HAMMING_MAX",
     "band_candidates",
+    "dedup_simhash_cc",
+    "dedup_simhash_cc_oracle_sql",
     "dedup_simhash_groups",
     "dedup_simhash_hamming",
     "dedup_simhash_hamming_oracle_sql",
     "dedup_simhash_oracle_sql",
+    "simhash_cc_groups_df",
     "simhash_hamming_groups_df",
 ]

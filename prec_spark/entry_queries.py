@@ -49,6 +49,8 @@ from .dedup import (
     dedup_ngram_oracle_sql,
     dedup_simhash_groups,
     dedup_simhash_oracle_sql,
+    dedup_simhash_cc,
+    dedup_simhash_cc_oracle_sql,
     dedup_simhash_hamming,
     dedup_simhash_hamming_oracle_sql,
     embedding_neardup,
@@ -304,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash_groups,
         "dedup_simhash_hamming": dedup_simhash_hamming,
+        "dedup_simhash_cc": dedup_simhash_cc,
         "embedding_neardup": embedding_neardup,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf": ann_ivf,
@@ -339,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),
         "dedup_simhash": dedup_simhash_oracle_sql(),
         "dedup_simhash_hamming": dedup_simhash_hamming_oracle_sql(),
+        "dedup_simhash_cc": dedup_simhash_cc_oracle_sql(),
         "embedding_neardup": embedding_neardup_oracle_sql(),
         "ann_bruteforce": ann_bruteforce_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),

@@ -102,10 +102,14 @@ def _explode_and_substitute(
     df: DataFrame, bindings: dict[str, Column]
 ) -> DataFrame:
     ex = df.select(*df.columns, F.explode("template").alias("pattern"))
+    # `g` (the winning rule's prec:targetGraph, from the broadcast
+    # template catalog) rides along when present
+    gcols = [F.col("g")] if "g" in df.columns else []
     return ex.select(
         substitute(F.element_at("pattern", 1), bindings).alias("s"),
         substitute(F.element_at("pattern", 2), bindings).alias("p"),
         substitute(F.element_at("pattern", 3), bindings).alias("o"),
+        *gcols,
     )
 
 
@@ -125,9 +129,17 @@ def _contains_term(hay: Column, needle: Column) -> Column:
 
 
 def apply_precc(
-    spark: SparkSession, quads: DataFrame, context: PreccContext
+    spark: SparkSession, quads: DataFrame, context: PreccContext,
+    with_graphs: bool = False,
 ) -> DataFrame:
     """Apply a PREC-C context to a PREC-0 quads DataFrame (s, p, o).
+
+    With with_graphs=True the output carries a 4th column `g`: each
+    produced triple lands in its winning rule's prec:targetGraph (the
+    same engine extension the PRSC dialect supports — prsc/apply.py),
+    "<>" (default graph) otherwise; preserved provenance quads stay in
+    the default graph. Without it, a context that declares target
+    graphs is an error rather than a silent flattening.
 
     The input is materialized behind a plan barrier (localCheckpoint)
     first: the PREC-C stages below reference the quads ~15 times
@@ -145,6 +157,11 @@ def apply_precc(
     of concurrent tasks whose sort-page allocations livelock a small
     executor heap (observed on 4 GiB with ~240 inherited partitions).
     """
+    if not with_graphs and context.has_target_graphs:
+        raise ValueError(
+            "context declares prec:targetGraph rules; call "
+            "apply_precc(..., with_graphs=True) to receive (s, p, o, g) quads"
+        )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     quads = quads.repartition(n_parts).localCheckpoint(eager=True)
     q = _apply_bnode_mapping(spark, quads, context.blank_node_mapping)
@@ -179,13 +196,14 @@ def apply_precc(
     )
     node_typing = q.filter((F.col("p") == A) & (F.col("o") == PGO_NODE))
 
+    default_g = F.lit("<>").alias("g")
     out = (
         edge_prod.unionByName(prop_prod)
         .unionByName(nl_prod)
-        .unionByName(preserved_quads.select("s", "p", "o"))
-        .unionByName(node_typing.select("s", "p", "o"))
-        .unionByName(kept_lists)
-        .dropDuplicates(["s", "p", "o"])
+        .unionByName(preserved_quads.select("s", "p", "o", default_g))
+        .unionByName(node_typing.select("s", "p", "o", default_g))
+        .unionByName(kept_lists.select("s", "p", "o", default_g))
+        .dropDuplicates(["s", "p", "o", "g"])
     )
 
     if not context.keep_provenance:
@@ -195,7 +213,7 @@ def apply_precc(
                 & F.col("o").isin(PGO_NODE, PGO_EDGE, PREC_PROP_KEY, PREC_PROP_KEY_VALUE)
             )
         )
-    return out
+    return out if with_graphs else out.select("s", "p", "o")
 
 
 # ------------------------------------------------------- bnode mapping
@@ -367,14 +385,19 @@ def _edges_stage(spark, q, labels, type_labels, context: PreccContext):
     templates = {-1: cat.base_templates[base]}
     for i, rule in enumerate(cat.rules):
         templates[i] = rule.templates[base]
+    graphs = {-1: "<>"}
+    for i, rule in enumerate(cat.rules):
+        graphs[i] = rule.graph.nt() if rule.graph is not None else "<>"
     for idx, tpl in templates.items():
         patterns = _compile_tpl(tpl, EDGE_MAP)
         self_pats = [compile_term(t, EDGE_MAP) for t in tpl.self_is]
-        rows.append((idx, patterns, _tpl_uses(patterns, "EDGEIRI"), self_pats))
+        rows.append(
+            (idx, patterns, _tpl_uses(patterns, "EDGEIRI"), self_pats, graphs[idx])
+        )
     tdf = spark.createDataFrame(
         rows,
         "rule_idx INT, template ARRAY<ARRAY<STRING>>, uses_edgeiri BOOLEAN, "
-        "self_pats ARRAY<STRING>",
+        "self_pats ARRAY<STRING>, g STRING",
     )
     edges = edges.join(F.broadcast(tdf), on="rule_idx", how="left")
 
@@ -543,15 +566,19 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
             all_cells = [c for r in always + indiv for c in r]
             uses_propkey = placeholder("PROPKEY") in "".join(all_cells)
             uses_propvalue = placeholder("PROPVALUE") in "".join(all_cells)
+            g = "<>"
+            if idx >= 0 and cat.rules[idx].graph is not None:
+                g = cat.rules[idx].graph.nt()
             rows.append(
                 (idx, key, always, indiv, uses_propkey, uses_propvalue,
-                 self_always, self_indiv)
+                 self_always, self_indiv, g)
             )
     tdf = spark.createDataFrame(
         rows,
         "rule_idx INT, holder_base STRING, template ARRAY<ARRAY<STRING>>, "
         "indiv_template ARRAY<ARRAY<STRING>>, uses_propkey BOOLEAN, "
-        "uses_propvalue BOOLEAN, self_always ARRAY<STRING>, self_indiv ARRAY<STRING>",
+        "uses_propvalue BOOLEAN, self_always ARRAY<STRING>, self_indiv ARRAY<STRING>, "
+        "g STRING",
     )
     inst = inst.join(F.broadcast(tdf), on=["rule_idx", "holder_base"], how="left")
 
@@ -581,6 +608,7 @@ def _properties_stage(spark, q, labels, type_labels, context: PreccContext, edge
             substitute(F.element_at("pattern", 1), b2).alias("s"),
             substitute(F.element_at("pattern", 2), b2).alias("p"),
             substitute(F.element_at("pattern", 3), b2).alias("o"),
+            F.col("g"),
         )
         return out.unionByName(ip)
 
@@ -768,9 +796,13 @@ def _node_labels_stage(spark, q, labels, context: PreccContext):
         entries[i] = rule.templates[base]
     for idx, tpl in entries.items():
         patterns = _compile_tpl(tpl, NL_MAP)
-        rows.append((idx, patterns, _tpl_uses(patterns, "NODELABELIRI")))
+        g = "<>"
+        if idx >= 0 and cat.rules[idx].graph is not None:
+            g = cat.rules[idx].graph.nt()
+        rows.append((idx, patterns, _tpl_uses(patterns, "NODELABELIRI"), g))
     tdf = spark.createDataFrame(
-        rows, "rule_idx INT, template ARRAY<ARRAY<STRING>>, uses_labeliri BOOLEAN"
+        rows,
+        "rule_idx INT, template ARRAY<ARRAY<STRING>>, uses_labeliri BOOLEAN, g STRING",
     )
     nl = nl.join(F.broadcast(tdf), on="rule_idx", how="left")
 

@@ -176,6 +176,9 @@ class PreccRule:
     explicit_priority: int | None
     other: list[tuple[Term, Term]]  # (condition predicate, value)
     templates: dict[Term, Template] = field(default_factory=dict)  # base -> template
+    #: optional output named graph (prec:targetGraph engine extension,
+    #: same contract as the PRSC dialect — contexts/model.py)
+    graph: Term | None = None
 
     @property
     def priority_key(self):
@@ -234,6 +237,15 @@ class PreccContext:
     def from_turtle(cls, text: str) -> "PreccContext":
         return cls(parse_turtle(text))
 
+    @property
+    def has_target_graphs(self) -> bool:
+        """True iff any rule routes its output to a named graph."""
+        return any(
+            r.graph is not None
+            for cat in (self.edges, self.properties, self.node_labels)
+            for r in cat.rules
+        )
+
     # ------------------------------------------------------------------
     def _sugar(self, domain: RuleDomain):
         """`iri shortcut "label"` -> full rule (context-loader.ts:598-619)."""
@@ -268,10 +280,17 @@ class PreccContext:
         other: list[tuple[Term, Term]] = []
         templated_by = None
         substitutions: list[tuple[Term, Term]] = []
+        graph = None
         for q in self.ds.match(s=rule_node, g=DEFAULT_GRAPH):
             if q.p == rdf("type"):
                 continue
-            if q.p == domain.main_label:
+            if q.p == prec("targetGraph"):
+                if graph is not None:
+                    raise ValueError(f"{rule_node.nt()}: at most one prec:targetGraph")
+                if not isinstance(q.o, NamedNode):
+                    raise ValueError(f"{rule_node.nt()}: prec:targetGraph must be an IRI")
+                graph = q.o
+            elif q.p == domain.main_label:
                 if label is not None:
                     raise ValueError(f"{q.p.nt()} should appear only once")
                 if not isinstance(q.o, Literal):
@@ -291,7 +310,7 @@ class PreccContext:
                 substitutions.append((self.substitutions[q.p], q.o))
             else:
                 raise ValueError(f"Unknown predicate {q.p.nt()} on rule {rule_node.nt()}")
-        return label, explicit_priority, other, templated_by, substitutions
+        return label, explicit_priority, other, templated_by, substitutions, graph
 
     def _read_raw_template(self, template_node: Term, domain: RuleDomain) -> Template:
         quads = [
@@ -334,8 +353,8 @@ class PreccContext:
         base_templates: dict[Term, Template] = {}
         base_mats: dict[Term, tuple] = {}
         for base in domain.template_bases:
-            label, prio, other, templated_by, subs = self._split(base, domain)
-            if label is not None or prio is not None or other:
+            label, prio, other, templated_by, subs, graph = self._split(base, domain)
+            if label is not None or prio is not None or other or graph is not None:
                 raise ValueError(f"{base.nt()} may only carry a template/substitutions")
             base_mats[base] = (templated_by, subs)
             base_templates[base] = self._build_template([(templated_by, subs)], domain)
@@ -343,10 +362,10 @@ class PreccContext:
         rules: list[PreccRule] = []
         seen_conditions: set[str] = set()
         for q in self.ds.match(p=rdf("type"), o=domain.rule_type, g=DEFAULT_GRAPH):
-            label, prio, other, templated_by, subs = self._split(q.s, domain)
+            label, prio, other, templated_by, subs, graph = self._split(q.s, domain)
             if label is None and not other:
                 raise ValueError(f"Rule {q.s.nt()} has no condition")
-            rule = PreccRule(q.s, label, prio, other)
+            rule = PreccRule(q.s, label, prio, other, graph=graph)
             cond_key = rule.priority_key[2]
             if cond_key in seen_conditions:
                 raise ValueError(f"Two rules have the exact same target: {q.s.nt()}")

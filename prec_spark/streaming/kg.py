@@ -242,6 +242,96 @@ def kg_stream(
     return spark.table(name)
 
 
+def kg_stream_merge_to_parquet(
+    spark: SparkSession, src_dir: str, out_dir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    watermark: str = WATERMARK, horizon_ms: int = _WATERMARK_MS,
+) -> DataFrame:
+    """Lakehouse sink: stream transcripts into a parquet triple table
+    with a foreachBatch MERGE (insert-if-absent on the (s, p, o) key).
+
+    Each micro-batch is deduped internally, anti-joined against the
+    current table state, and only the genuinely new triples appended —
+    so the table NEVER holds duplicate triples and replayed batches
+    (restart from the checkpoint) are idempotent. This is the working
+    form of the "consumer dedups on read" note: with this sink the
+    dedup happens on WRITE, once per batch, instead of on every read.
+
+    Scale note: the anti-join reads the current table per batch; on a
+    real lakehouse the same statement is Delta/Iceberg
+    `MERGE INTO kg USING batch ON same (s,p,o) WHEN NOT MATCHED THEN
+    INSERT`, where the table format's file statistics + partition
+    pruning bound the read instead of a full scan. The merge shape —
+    batch dedup, key anti-join, append — is identical.
+    """
+    import os
+
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+    triples = stateless_triples(stream).unionByName(
+        next_edge_triples_stream(stream, watermark, horizon_ms)
+    )
+
+    def _merge(batch_df: DataFrame, _epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["s", "p", "o"])
+        if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            existing = sess.read.parquet(out_dir)
+            batch = batch.join(existing, ["s", "p", "o"], "left_anti")
+        # materialize the anti-join BEFORE appending to the same path
+        # (a lazy plan would race its own output files)
+        batch.localCheckpoint().write.mode("append").parquet(out_dir)
+
+    writer = triples.writeStream.foreachBatch(_merge).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "kg_stream_merge_to_parquet did not finish its availableNow "
+            "run within 300s — the parquet table would be partial"
+        )
+    return spark.read.parquet(out_dir)
+
+
+def stage_stream_source(
+    spark: SparkSession, sf_dir: str, src: str,
+    transcripts: DataFrame | None = None,
+) -> None:
+    """Materialize the transcripts as a 3-file parquet stream source
+    split by EVENT TIME (fixed cutoffs inside the lineitem shipdate
+    range) — a log replay arrives in rough event order; conversations
+    near a cutoff straddle batches, exercising the stateful
+    cross-batch NEXT operator."""
+    import glob
+    import os
+    import shutil
+
+    from ..transcripts import transcripts_df
+
+    t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir)
+    c1, c2 = F.lit("1994-07-01").cast("timestamp_ntz"), F.lit(
+        "1996-07-01"
+    ).cast("timestamp_ntz")
+    for i, cond in enumerate(
+        (F.col("ts") < c1, (F.col("ts") >= c1) & (F.col("ts") < c2),
+         F.col("ts") >= c2)
+    ):
+        t.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    for f in glob.glob(f"{src}/batch*.parquet"):
+        os.remove(f)
+    for i in range(3):
+        (part,) = glob.glob(f"{src}/f{i}/part-*.parquet")
+        shutil.move(part, f"{src}/batch{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+
+
 def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated streaming entry: materialize the transcripts as a
     3-file parquet stream source (conversations SPAN the file
@@ -253,37 +343,9 @@ def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import uuid
 
-    from pyspark.sql import functions as F
-
-    from ..transcripts import transcripts_df
-
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     src = f"/tmp/prec-spark-stream-src-{tag}"
-    t = transcripts_df(spark, sf_dir)
-    # 3 micro-batches split by EVENT TIME (fixed cutoffs inside the
-    # lineitem shipdate range) — a log replay arrives in rough event
-    # order, and only then does a bounded late horizon let the global
-    # watermark advance without dropping anything. Conversations near
-    # a cutoff straddle batches, exercising the stateful cross-batch
-    # NEXT operator.
-    c1, c2 = F.lit("1994-07-01").cast("timestamp_ntz"), F.lit(
-        "1996-07-01"
-    ).cast("timestamp_ntz")
-    for i, cond in enumerate(
-        (F.col("ts") < c1, (F.col("ts") >= c1) & (F.col("ts") < c2),
-         F.col("ts") >= c2)
-    ):
-        t.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
-    import glob
-    import os
-    import shutil
-
-    for f in glob.glob(f"{src}/batch*.parquet"):
-        os.remove(f)
-    for i in range(3):
-        (part,) = glob.glob(f"{src}/f{i}/part-*.parquet")
-        shutil.move(part, f"{src}/batch{i}.parquet")
-        shutil.rmtree(f"{src}/f{i}")
+    stage_stream_source(spark, sf_dir, src)
 
     # late horizon 200 days > the max intra-conversation event-time
     # gap (lineitem ship dates sit within ~120 days of the order

@@ -121,8 +121,16 @@ FROM m
 """
 
 
+#: salt replication factor for the non-broadcast blocked dictionary
+#: join (spreads a hot first-letter block over FUZZY_SALTS partitions)
+FUZZY_SALTS = 8
+
+
 def fuzzy_links(
-    spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    transcripts: DataFrame | None = None,
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """Fuzzy surface-form entity linking (non-degenerate similarity).
 
@@ -133,10 +141,22 @@ def fuzzy_links(
     (score, entity_id) candidate wins per surface occurrence group;
     candidates below MIN_SCORE are dropped (unlinkable).
 
-    Scale shape: the dictionary is broadcast (tiny here); a 100 TB
-    dictionary would add a blocking key (prefix / phonetic bucket) to
-    the join instead of the cross product — the verify-then-rank
-    structure is unchanged.
+    Candidate generation is BLOCKED, not a cross product (round-3
+    VERDICT item 6): candidates must share the surface's lowercase
+    first character (classic first-letter blocking — part of the
+    linking SPEC, mirrored in the oracle; it can change winners vs a
+    cross product, and on prefix abbreviations that is an accuracy
+    win — 'Mar' links to its source 'Marcel', not to edit-distance-
+    closer 'Omar') and fall in the length
+    window len(entity) in [len(surface)/2, 2*len(surface)], which is
+    LOSSLESS for MIN_SCORE = 0.5 (lev >= |len diff| makes any score
+    >= 0.5 outside the window impossible). With broadcast_dict the
+    block key turns the broadcast join into a hash probe of one
+    bucket; with broadcast_dict=False (dictionary too big to
+    broadcast) the join shuffles on (block, salt) with the dictionary
+    side replicated FUZZY_SALTS ways so a hot first letter still
+    spreads across partitions — no BroadcastNestedLoopJoin either way
+    (plan-asserted in tests/test_plans.py).
     """
     m = mentions_df(spark, sf_dir, transcripts)
     surfaces = m.withColumn(
@@ -147,8 +167,27 @@ def fuzzy_links(
     ).groupBy("conv_id", "turn_idx", "surface").agg(
         F.count("*").alias("n_occurrences")
     )
-    e = entities_df(spark)
-    scored = surfaces.join(F.broadcast(e)).withColumn(
+    e = entities_df(spark).withColumn(
+        "blk", F.lower(F.substring("entity_name", 1, 1))
+    )
+    s = surfaces.withColumn("blk", F.lower(F.substring("surface", 1, 1)))
+    len_window = (F.length("entity_name") * 2 >= F.length("surface")) & (
+        F.length("entity_name") <= F.length("surface") * 2
+    )
+    if broadcast_dict:
+        joined = s.join(F.broadcast(e), "blk").filter(len_window)
+    else:
+        e_rep = e.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(FUZZY_SALTS)])),
+        )
+        s_salted = s.withColumn(
+            "salt", F.pmod(F.crc32(F.col("surface")), F.lit(FUZZY_SALTS)).cast("int")
+        )
+        joined = (
+            s_salted.join(e_rep, ["blk", "salt"]).filter(len_window).drop("salt")
+        )
+    scored = joined.drop("blk").withColumn(
         "score",
         F.round(
             1.0
@@ -183,7 +222,10 @@ scored AS (
   SELECT s.*, e.entity_id,
          round(1.0 - levenshtein(lower(s.surface), lower(e.entity_name))
                / greatest(length(s.surface), length(e.entity_name)), 4) AS score
-  FROM surfaces s CROSS JOIN e
+  FROM surfaces s JOIN e
+    ON lower(substr(s.surface, 1, 1)) = lower(substr(e.entity_name, 1, 1))
+   AND length(e.entity_name) * 2 >= length(s.surface)
+   AND length(e.entity_name) <= 2 * length(s.surface)
 ), ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY conv_id, turn_idx, surface

@@ -69,3 +69,27 @@ def test_ivf_recall_at_5(spark, planted_vecs):
         recalls.append(len(bf & ivf[int(qi)]) / TOP_K)
     recall = float(np.mean(recalls))
     assert recall >= 0.9, f"recall@{TOP_K} with nprobe={NPROBE}: {recall}"
+
+
+def test_ivf_high_dim_smoke(spark):
+    """dim=300 IVF end-to-end (round-3 VERDICT item 4): the training
+    means are an array aggregate, not 300 avg columns, so high-dim
+    corpora stay inside codegen limits."""
+    import numpy as np
+    import pandas as pd
+
+    from prec_spark.ann.search import TOP_K, ann_ivf
+
+    rng = np.random.default_rng(3)
+    n, dim = 1500, 300
+    V = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "v": list(V),
+            "nrm": np.linalg.norm(V, axis=1),
+        }
+    )
+    out = ann_ivf(spark, "", vectors=spark.createDataFrame(pdf))
+    rows = out.groupBy("query_id").count().collect()
+    assert rows and all(r["count"] <= TOP_K for r in rows)

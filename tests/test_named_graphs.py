@@ -124,3 +124,92 @@ def test_partitioned_parquet_roundtrip(quads, tmp_path, spark):
     # graph-scoped read prunes to one partition directory
     one = spark.read.parquet(out).filter(F.col("g") == G_USER)
     assert one.count() == 2
+
+
+# ---------------------------------------------------------------- PREC-C
+
+PRECC_PREFIXES = """
+@prefix rdf:  <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix pgo:  <http://ii.uwb.edu.pl/pgo#> .
+@prefix prec: <http://bruy.at/prec#> .
+@prefix pvar: <http://bruy.at/prec-trans#> .
+@prefix :     <http://test/> .
+@prefix ex:   <http://example.org/ng/>  .
+"""
+
+PRECC_CONTEXT = """
+:knowsRule a prec:EdgeRule ;
+  prec:label "knows" ;
+  prec:targetGraph ex:gEdges ;
+  prec:templatedBy prec:RdfStarUnique .
+
+:nameRule a prec:PropertyRule ;
+  prec:propertyKey "name" ;
+  prec:targetGraph ex:gProps ;
+  prec:templatedBy prec:DirectTriples .
+"""
+
+PRECC_INPUT = """
+:e a pgo:Edge ; rdf:subject :a ; rdf:predicate :p ; rdf:object :b .
+:p rdfs:label "knows" .
+:a a pgo:Node . :b a pgo:Node .
+:a :nk :pn1 .
+:pn1 rdf:value "Alice" ; a prec:PropertyKeyValue .
+:nk a prec:PropertyKey ; rdfs:label "name" .
+"""
+
+
+@pytest.fixture(scope="module")
+def precc_quads(spark):
+    from prec_spark.precc.apply import apply_precc
+    from prec_spark.precc.context import PreccContext
+    from prec_spark.rdf.turtle import parse_turtle as _parse
+
+    rows = [
+        (q.s.nt(), q.p.nt(), q.o.nt())
+        for q in _parse(PRECC_PREFIXES + PRECC_INPUT)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, p STRING, o STRING")
+    ctx = PreccContext.from_turtle(PRECC_PREFIXES + PRECC_CONTEXT)
+    assert ctx.has_target_graphs
+    return apply_precc(spark, df, ctx, with_graphs=True).cache()
+
+
+def test_precc_rules_emit_into_their_graphs(precc_quads):
+    got = _quad_set(precc_quads)
+    by_graph = {}
+    for s, p, o, g in got:
+        by_graph.setdefault(g, set()).add((s, p, o))
+    # the edge rule's template lands wholesale in gEdges, the property
+    # rule's direct triple in gProps, provenance in the default graph
+    assert set(by_graph) == {
+        DEFAULT_GRAPH_NT, f"<{EX}gEdges>", f"<{EX}gProps>"
+    }
+    T = "http://test/"
+    assert (f"<{T}a>", f"<{T}p>", f"<{T}b>") in by_graph[f"<{EX}gEdges>"]
+    assert by_graph[f"<{EX}gProps>"] == {(f"<{T}a>", f"<{T}nk>", '"Alice"')}
+    # provenance (pgo typing) stays in the default graph
+    assert any(p == A for (_s, p, _o) in by_graph[DEFAULT_GRAPH_NT])
+
+
+def test_precc_without_flag_raises(spark):
+    from prec_spark.precc.apply import apply_precc
+    from prec_spark.precc.context import PreccContext
+
+    df = spark.createDataFrame([("a", "b", "c")], "s STRING, p STRING, o STRING")
+    ctx = PreccContext.from_turtle(PRECC_PREFIXES + PRECC_CONTEXT)
+    with pytest.raises(ValueError, match="with_graphs"):
+        apply_precc(spark, df, ctx)
+
+
+def test_precc_trig_roundtrip(precc_quads, tmp_path):
+    out = str(tmp_path / "precc_trig")
+    write_trig(precc_quads, out)
+    text = "\n".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(out, "part-*")))
+    )
+    reparsed = {
+        (q.s.nt(), q.p.nt(), q.o.nt(), q.g.nt()) for q in parse_turtle(text)
+    }
+    assert reparsed == _quad_set(precc_quads)

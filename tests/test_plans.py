@@ -174,3 +174,46 @@ def test_simhash_band_join_is_distinct_fp_space(spark, sf_dir):
     # the aggregate producing rep_doc sits below the join in the plan
     # (optimized-plan attributes render with expr ids: `min(doc_id#577L)`)
     assert re.search(r"min\(doc_id#\d+L?\)", plan)
+
+
+def test_fuzzy_links_blocked_join_no_nested_loop(spark, sf_dir):
+    """Round-3 VERDICT item 6: with the dictionary too big to broadcast
+    (threshold -1, broadcast_dict=False) the blocked join must plan as
+    an equi-join on (block, salt) — no BroadcastNestedLoopJoin — and
+    return the same rows as the broadcast path."""
+    from prec_spark.text.mentions import fuzzy_links
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fuzzy_links(spark, sf_dir, broadcast_dict=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        rows_blocked = {tuple(r) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    rows_bcast = {tuple(r) for r in fuzzy_links(spark, sf_dir).collect()}
+    assert rows_blocked == rows_bcast and rows_blocked
+
+
+def test_fuzzy_links_blocking_recovers_ground_truth(spark, sf_dir):
+    """The first-letter block is part of the linking SPEC, not just a
+    performance trick, and on this corpus it is an accuracy WIN: the
+    abbreviation 'Mar' (generated from 'Marcel') scores 0.75 against
+    cross-block 'Omar' but only 0.5 against 'Marcel' — the unblocked
+    cross product linked it to the wrong entity; the blocked join
+    recovers the ground-truth source. Every surface must link to the
+    entity whose name it is a prefix of."""
+    from prec_spark.text.mentions import entities_df, fuzzy_links
+
+    names = {
+        r.entity_id: r.entity_name.lower()
+        for r in entities_df(spark).collect()
+    }
+    links = fuzzy_links(spark, sf_dir).collect()
+    assert links
+    for r in links:
+        assert names[r.entity_id].startswith(r.surface.lower()), (
+            r.surface, names[r.entity_id],
+        )

@@ -112,3 +112,50 @@ def test_fuzzy_links_resolve_abbreviations(spark, sf_dir):
     # 'Ter' must resolve to Teresa (entity 3): unique best candidate
     ter = links.filter(F.col("surface") == "Ter").select("entity_id").distinct().collect()
     assert [r.entity_id for r in ter] == [3]
+
+
+def test_chain_semantics_neighborhood_vs_cc(spark):
+    """A-B-C chain with d(A,B)=2, d(B,C)=2, d(A,C)=4 (> HAMMING_MAX):
+    the neighborhood variant gives C a different canonical than A/B;
+    the connected-components variant collapses all three (round-3
+    VERDICT item 5 — both semantics pinned)."""
+    from prec_spark.dedup.simhash import simhash_cc_groups_df
+
+    A = "0" * 64
+    B = "11" + "0" * 62        # d(A,B)=2
+    C = "1111" + "0" * 60      # two NEW bits beyond B: d(B,C)=2, d(A,C)=4
+    assert _hamming(A, B) == 2 and _hamming(B, C) == 2 and _hamming(A, C) == 4
+    fp = spark.createDataFrame(
+        [(1, A), (2, A), (10, B), (20, C)], "doc_id LONG, simhash64 STRING"
+    )
+
+    nbr = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in simhash_hamming_groups_df(fp).collect()
+    }
+    # neighborhood: A-docs keep 1; B sees {A,C} -> min rep 1; C sees
+    # only {B} -> canonical is B's rep (10), NOT 1
+    assert nbr == {(1, 1), (2, 1), (10, 1), (20, 10)}
+
+    cc = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in simhash_cc_groups_df(fp).collect()
+    }
+    assert cc == {(1, 1), (2, 1), (10, 1), (20, 1)}
+
+
+def test_cc_matches_neighborhood_when_no_chains(spark, sf_dir):
+    """On the sf0.001 corpus (near-dups are exact clones; no >radius
+    chains) the two semantics must agree — CC is a strict refinement
+    only when chains exist."""
+    from prec_spark.dedup.simhash import dedup_simhash_cc
+
+    nbr = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in dedup_simhash_hamming(spark, sf_dir).collect()
+    }
+    cc = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in dedup_simhash_cc(spark, sf_dir).collect()
+    }
+    assert cc == nbr
