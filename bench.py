@@ -234,7 +234,12 @@ def main():
             # rule's framing), not threads sharing one JVM. Per-executor
             # cores stay fixed; only the executor count scales.
             cpe = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_PER_EXEC", "4"))
-            mem_mb = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_MEM_MB", "6144"))
+            # 12 GiB/executor: at mult=48 the per-executor working set
+            # overruns a 6 GiB heap at the 4N level and GC churn masks
+            # the true scaling (measured 51.9 s vs 30.6 s at 8
+            # executors, identical work — see BENCH.md); size heaps to
+            # the working set before reading scaling numbers
+            mem_mb = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_MEM_MB", "12288"))
             hi_exec = max(1, cpus // cpe)
             lo_exec = max(1, hi_exec // 4)
             os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
