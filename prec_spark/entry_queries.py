@@ -64,6 +64,7 @@ from .ann import (
 )
 from .multimodal import binary_features, binary_features_oracle_sql
 from .multimodal.media import media_features, media_features_oracle_sql
+from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .precc_flagship import (
@@ -312,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "multimodal_features": binary_features,
         "media_decode": media_features,
+        "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
     }
 
@@ -348,5 +350,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ann_ivf_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
+        "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
     }

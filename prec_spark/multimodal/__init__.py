@@ -1,5 +1,6 @@
 """Multimodal (binary-column) operators: real PNG/BMP/WAV codecs +
-byte-stats plumbing (video decode stubbed — no codec libs here)."""
+byte-stats plumbing; video = real uncompressed-AVI decode (video.py;
+compressed codecs stay out of scope — no codec libs here)."""
 
 from .binary import (  # noqa: F401
     binary_documents,
@@ -20,4 +21,10 @@ from .media import (  # noqa: F401
     media_documents,
     media_features,
     media_features_oracle_sql,
+)
+from .video import (  # noqa: F401
+    synth_video_payload,
+    video_documents,
+    video_features,
+    video_features_oracle_sql,
 )

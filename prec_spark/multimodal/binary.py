@@ -6,9 +6,12 @@ Arrow-batched pandas UDFs over mapInPandas.
 
 Round 3: image (PNG/BMP) and audio (WAV) decode is REAL — pure-stdlib
 codecs in codecs.py feed the oracle-gated `media_decode` query
-(media.py). This module keeps the byte-statistics feature path over
-arbitrary payloads; only VIDEO decode remains stubbed below (no
-container/codec support without external libraries).
+(media.py). Round 4: VIDEO decode is real too for uncompressed 24 bpp
+AVI (RIFF + raw DIB frames, codecs.py encode_avi/decode_avi; gated by
+the `media_video` query incl. frame sampling). This module keeps the
+byte-statistics feature path over arbitrary payloads; the stub below
+now marks only COMPRESSED video codecs (H.264 etc.), which genuinely
+need external libraries this container doesn't have.
 """
 
 from __future__ import annotations
@@ -46,13 +49,13 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_video_stub(payload: bytes):
-    """STUB — video containers/codecs need external libraries that are
-    not in this environment. Image (PNG/BMP) and audio (WAV) decode is
-    implemented for real in codecs.py; a video decoder would slot into
-    the same mapInPandas plumbing (media.py)."""
+    """STUB for COMPRESSED video codecs (H.264/VP9/...), which need
+    external libraries not in this environment. Uncompressed AVI is
+    decoded for real (codecs.py decode_avi, gated by `media_video`);
+    PNG/BMP/WAV likewise in codecs.py."""
     raise NotImplementedError(
-        "video decode requires a codec library not present in this "
-        "container; see codecs.py for the real PNG/BMP/WAV decoders"
+        "compressed video codecs need a library not present in this "
+        "container; uncompressed AVI decodes for real via decode_avi"
     )
 
 

@@ -202,6 +202,114 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, px[:, :, ::-1].tobytes()  # BGR -> RGB
 
 
+# ------------------------------------------------------------------ AVI
+
+def _riff_chunk(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF chunks are word-aligned
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def encode_avi(width: int, height: int, frames, fps: int = 10) -> bytes:
+    """Uncompressed 24 bpp AVI: RIFF container, 'DIB ' fourcc, one
+    '00db' chunk per frame holding bottom-up padded BGR rows (the BMP
+    pixel layout). `frames` is a sequence of row-major RGB byte
+    buffers. Standard enough that ffmpeg/VLC play it; no index chunk
+    (our decoder, like most, walks the movi list)."""
+    pad = (-(width * 3)) % 4
+    stride = width * 3 + pad
+    size_image = stride * height
+    dibs = []
+    for rgb in frames:
+        if len(rgb) != width * height * 3:
+            raise ValueError("rgb frame size mismatch")
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, -1)
+        dibs.append(rows.tobytes())
+    avih = struct.pack(
+        "<IIIIIIIIII16x",
+        1_000_000 // fps, size_image * fps, 0, 0,
+        len(frames), 0, 1, size_image, width, height,
+    )
+    # 56 bytes: two fourccs + 10 DWORD/WORD fields + dwSampleSize + rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIII",
+            0, 0, 0, 0,  # flags, priority, language, initial frames
+            1, fps,      # scale / rate
+            0, len(frames), size_image, 0,
+        )
+        + struct.pack("<I", 0)  # dwSampleSize (0 for video)
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, size_image, 2835, 2835, 0, 0
+    )
+    strl = _riff_list(
+        b"strl",
+        _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """-> (width, height, n_frames, [row-major RGB bytes per frame]).
+
+    Walks the RIFF chunk tree: BITMAPINFOHEADER from 'strf', frame
+    pixels from '00db'/'00dc' chunks (uncompressed 24 bpp only)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = None
+    bottom_up = True
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        nonlocal width, height, bottom_up
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)  # skip the list type
+            elif tag == b"strf" and ln >= 40:
+                hdr = data[body_start : body_start + 40]
+                _sz, w, h_raw, _planes, bpp, comp = struct.unpack(
+                    "<IiiHHI", hdr[:20]
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI video: bpp={bpp} comp={comp}"
+                    )
+                width, height, bottom_up = w, abs(h_raw), h_raw > 0
+            elif tag[2:4] in (b"db", b"dc") and ln > 0:
+                frames.append(data[body_start : body_start + ln])
+            pos = body_start + ln + (ln % 2)  # word alignment
+
+    walk(12, len(data))
+    if width is None or height is None:
+        raise ValueError("truncated AVI (no strf)")
+    pad = (-(width * 3)) % 4
+    stride = width * 3 + pad
+    out: list[bytes] = []
+    for raw in frames:
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=height * stride
+        ).reshape(height, stride)
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            px = px[::-1]
+        out.append(px[:, :, ::-1].tobytes())
+    return width, height, len(out), out
+
+
 # ------------------------------------------------------------------ WAV
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -239,4 +347,6 @@ def sniff_kind(data: bytes) -> str:
         return "image/bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "video/avi"
     return "application/octet-stream"

@@ -191,3 +191,47 @@ def test_png_unfilter_vectorized_speedup_256():
     # decode_png also parses chunks + inflates; the >=10x bound still
     # holds comfortably (measured ~40-100x on this host)
     assert t_scalar / best >= 10, (t_scalar, best)
+
+
+def test_avi_roundtrip():
+    from prec_spark.multimodal.codecs import decode_avi, encode_avi
+
+    w, h, n = 5, 3, 4
+    frames = [
+        bytes(((i * 7 + f * 13) % 256) for i in range(w * h * 3))
+        for f in range(n)
+    ]
+    avi = encode_avi(w, h, frames)
+    assert sniff_kind(avi) == "video/avi"
+    assert decode_avi(avi) == (w, h, n, frames)
+    # odd-stride width exercises DIB row padding
+    w2 = 3
+    f2 = [bytes(range(w2 * 2 * 3))]
+    assert decode_avi(encode_avi(w2, 2, f2))[3] == f2
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"nope")
+
+
+def test_video_features_match_closed_form():
+    """Decoded AVI features equal the generator closed forms — the
+    arithmetic the DuckDB oracle runs without seeing bytes."""
+    from prec_spark.multimodal.video import _features_of, synth_video_payload
+
+    for i in range(24):
+        f = _features_of(synth_video_payload(i))
+        n, w, h = 2 + i % 4, 2 + i % 5, 2 + i % 3
+        assert (f["width"], f["height"], f["n_frames"]) == (w, h, n)
+
+        def px_sum(frame_pred):
+            return sum(
+                (i + fr + x + 2 * y) % 256
+                + (2 * i + 3 * x + y + 5 * fr) % 256
+                + (3 * i + 5 * x + 7 * y + 11 * fr) % 256
+                for fr in range(n)
+                if frame_pred(fr)
+                for x in range(w)
+                for y in range(h)
+            )
+
+        assert f["pixel_sum"] == px_sum(lambda fr: True)
+        assert f["sampled_sum"] == px_sum(lambda fr: fr % 2 == 0)
