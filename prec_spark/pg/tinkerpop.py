@@ -116,9 +116,13 @@ def _enc_scalar(v: Column) -> Column:
             ),
         )
         .when(
-            # JSON integers beyond int64 surface as DECIMAL(p,0); keep them
-            # xsd:integer via string extraction like the driver's str(int)
-            (sch == "BIGINT") | sch.rlike(r"^DECIMAL\(\d+,0\)$"),
+            # JSON integers beyond int64 surface as DECIMAL(p,0) with
+            # p >= 19 digits; keep them xsd:integer via string extraction
+            # like the driver's str(int). The precision floor matters:
+            # variant parsing strips trailing zeros, so the JSON double
+            # `1.0` also reads DECIMAL(1,0) — small-p scale-0 decimals
+            # must stay on the double branch below.
+            (sch == "BIGINT") | sch.rlike(r"^DECIMAL\((19|[23]\d),0\)$"),
             F.concat(
                 F.lit('"'),
                 F.variant_get(v, "$", "string"),

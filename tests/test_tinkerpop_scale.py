@@ -114,6 +114,9 @@ def test_reader_parity_edge_cases(spark, tmp_path):
             "properties": {
                 "big": [{"value": 123456789012345678901234567890}],
                 "neg": [{"value": -98765432109876543210}],
+                # JSON doubles that parse to small scale-0 decimals
+                # (variant strips the trailing zero) must STAY doubles
+                "whole": [{"value": 3.0}],
                 "name": [{"value": "x", "meta": {}}],  # empty meta: no row
                 "kept": [{"value": "y", "meta": {"k": 1}}],
             },
@@ -134,5 +137,8 @@ def test_reader_parity_edge_cases(spark, tmp_path):
     ]
     assert props["neg"] == [
         '"-98765432109876543210"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    ]
+    assert props["whole"] == [
+        '"3.0"^^<http://www.w3.org/2001/XMLSchema#double>'
     ]
     assert {(r.holder_id, r.key) for r in m2.collect()} == {("vertex:0", "kept")}
