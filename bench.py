@@ -247,9 +247,21 @@ def main():
             # manager overrides it); the env var routes executor shuffle
             # files to tmpfs like the local-mode conf does
             os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/prec-spark-bench")
+            # executor counts per level: default N and 4N; an explicit
+            # list (e.g. "2,4,8") draws the full scaling curve
+            counts = [
+                int(c)
+                for c in os.environ.get(
+                    "SPARK_GRAFT_BENCH_CLUSTER_EXECS", f"{lo_exec},{hi_exec}"
+                ).split(",")
+            ]
             levels = [
-                ("N", f"local-cluster[{lo_exec},{cpe},{mem_mb}]", lo_exec * cpe),
-                ("4N", f"local-cluster[{hi_exec},{cpe},{mem_mb}]", hi_exec * cpe),
+                (
+                    "N" if n == counts[0] else f"{n // counts[0]}N",
+                    f"local-cluster[{n},{cpe},{mem_mb}]",
+                    n * cpe,
+                )
+                for n in counts
             ]
         else:
             lo = max(2, cpus // 4)

@@ -5,4 +5,6 @@ from .search import (  # noqa: F401
     ann_bruteforce_oracle_sql,
     ann_ivf,
     ann_ivf_oracle_sql,
+    ann_lsh,
+    ann_lsh_oracle_sql,
 )

@@ -348,3 +348,138 @@ final_assign AS (
 )
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------------------ LSH
+
+#: random-hyperplane (sign) LSH: LSH_TABLES independent hash tables of
+#: LSH_BITS sign bits each. Hyperplane components are deterministic
+#: +-1 values derived from md5("{t}-{j}-{d}") — the same hex string in
+#: Python (hashlib), Spark, and DuckDB, so the oracle rebuilds the
+#: identical planes without any side channel.
+LSH_TABLES = 6
+LSH_BITS = 8
+
+
+def _lsh_plane(t: int, j: int, dim: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{t}-{j}-{d}".encode()).hexdigest()[0] <= "7"
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket_keys(vecs: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v, nrm, t, key) — one row per vector per hash table.
+
+    key = LSH_BITS sign bits of dot(v, plane) concatenated; the dot is
+    the same sequential left-fold in Spark (zip_with + aggregate) and
+    DuckDB (list_inner_product), so the bits agree bit-for-bit."""
+    entries = []
+    for t in range(LSH_TABLES):
+        bits = [
+            F.when(
+                dot_col(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in _lsh_plane(t, j, dim)]),
+                )
+                >= 0,
+                "1",
+            ).otherwise("0")
+            for j in range(LSH_BITS)
+        ]
+        entries.append(F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("key")))
+    return vecs.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*entries)).alias("tk")
+    ).select("vec_id", "v", "nrm", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+
+
+def ann_lsh(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — top-5 among LSH bucket
+    mates (any of the LSH_TABLES tables), self excluded.
+
+    The bucket-join scale path the build brief names alongside IVF:
+    the corpus is hashed once (LSH_TABLES x N bucket rows), queries
+    probe only their own buckets — candidate count is governed by
+    bucket occupancy (N / 2^LSH_BITS per table in the random case,
+    cluster-mates in the clustered case), never all pairs. Query
+    buckets are broadcast; the corpus bucket table streams through one
+    equi-join on (table, key)."""
+    vecs = vectors if vectors is not None else _vectors(spark, sf_dir)
+    vecs = vecs.select("vec_id", "v", "nrm")
+    head = vecs.select(F.size("v").alias("n")).head()
+    dim = head["n"] if head else 0
+    buckets = lsh_bucket_keys(vecs, dim)
+    qb = (
+        buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            "t",
+            "key",
+        )
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["t", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot_col(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4
+        ).alias("cosine"),
+    )
+    return _topk(scored)
+
+
+def ann_lsh_oracle_sql() -> str:
+    return f"""
+WITH {_V_CTE},
+dims AS (
+  SELECT unnest(range(0, (SELECT max(len(emb)) FROM v))) AS d
+),
+planes AS (
+  SELECT t, j,
+         list(CASE WHEN substr(md5(t || '-' || j || '-' || d), 1, 1) <= '7'
+                   THEN 1.0 ELSE -1.0 END ORDER BY d) AS pv
+  FROM (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+       CROSS JOIN (SELECT unnest(range(0, {LSH_BITS})) AS j)
+       CROSS JOIN dims
+  GROUP BY t, j
+),
+keys AS (
+  SELECT v.vec_id, p.t,
+         string_agg(CASE WHEN list_inner_product(v.emb, p.pv) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS key
+  FROM v CROSS JOIN planes p
+  GROUP BY v.vec_id, p.t
+),
+qk AS (
+  SELECT vec_id AS query_id, t, key FROM keys WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT qk.query_id, k.vec_id AS neighbor_id
+  FROM qk JOIN keys k ON k.t = qk.t AND k.key = qk.key
+  WHERE k.vec_id <> qk.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+  FROM cand c
+  JOIN v a ON a.vec_id = c.query_id
+  JOIN v b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+"""

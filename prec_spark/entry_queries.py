@@ -61,6 +61,8 @@ from .ann import (
     ann_bruteforce_oracle_sql,
     ann_ivf,
     ann_ivf_oracle_sql,
+    ann_lsh,
+    ann_lsh_oracle_sql,
 )
 from .multimodal import binary_features, binary_features_oracle_sql
 from .multimodal.media import media_features, media_features_oracle_sql
@@ -311,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
         "multimodal_features": binary_features,
         "media_decode": media_features,
         "media_video": video_features,
@@ -348,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": embedding_neardup_oracle_sql(),
         "ann_bruteforce": ann_bruteforce_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
+        "ann_lsh": ann_lsh_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
         "media_video": video_features_oracle_sql(),

@@ -93,3 +93,46 @@ def test_ivf_high_dim_smoke(spark):
     out = ann_ivf(spark, "", vectors=spark.createDataFrame(pdf))
     rows = out.groupBy("query_id").count().collect()
     assert rows and all(r["count"] <= TOP_K for r in rows)
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    """Sign-LSH: cluster co-members are near-parallel vectors, so they
+    agree on (almost) all sign bits and land in the same bucket in at
+    least one of the LSH_TABLES tables — recall@5 vs exact brute force
+    must be high on a planted clustered corpus. Candidates stay
+    bucket-bounded: never an all-pairs product."""
+    import numpy as np
+    import pandas as pd
+
+    from prec_spark.ann.search import QUERY_MOD, TOP_K, ann_lsh
+
+    rng = np.random.default_rng(11)
+    n, dim, k_plant = 2000, 16, 40
+    clusters = np.arange(n) % k_plant
+    centers = rng.choice([-8.0, 8.0], size=(k_plant, dim))
+    V = centers[clusters] + rng.normal(0.0, 0.5, size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "v": list(V),
+            "nrm": np.linalg.norm(V, axis=1),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = ann_lsh(spark, "", vectors=df).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+
+    # exact ground truth (numpy): top-5 cosine per query
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    hits = total = 0
+    for q in range(0, n, QUERY_MOD):
+        cos = Vn @ Vn[q]
+        cos[q] = -2
+        exact = set(np.argsort(-cos)[:TOP_K].tolist())
+        found = set(by_q.get(q, []))
+        hits += len(exact & found)
+        total += TOP_K
+    recall = hits / total
+    assert recall >= 0.9, f"LSH recall@{TOP_K} = {recall:.3f}"
