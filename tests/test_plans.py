@@ -217,3 +217,16 @@ def test_fuzzy_links_blocking_recovers_ground_truth(spark, sf_dir):
         assert names[r.entity_id].startswith(r.surface.lower()), (
             r.surface, names[r.entity_id],
         )
+
+
+def test_ann_lsh_is_bucket_hash_join(spark, sf_dir):
+    """LSH candidates come from a hash equi-join on (table, key) with
+    the query buckets broadcast — never a nested-loop/cartesian pairing
+    of queries with the corpus, and no Python eval anywhere."""
+    from prec_spark.ann.search import ann_lsh
+
+    plan = plan_of(ann_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
