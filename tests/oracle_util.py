@@ -30,12 +30,25 @@ def _norm(v):
     return v
 
 
+def _release_storage(spark):
+    """Drop per-query storage so 33 gate queries fit one 4 GiB session:
+    clear catalog caches, then force a driver GC so the ContextCleaner
+    releases now-unreferenced localCheckpoint / broadcast blocks (they
+    are only cleaned after driver garbage collection)."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str):
     """Sorted-row comparison (column order normalized by name)."""
     cols = sorted(spark_df.columns)
     spark_rows = sorted(
         tuple(_norm(getattr(r, c)) for c in cols) for r in spark_df.collect()
     )
+    _release_storage(spark_df.sparkSession)
     con = duck_con(sf_dir)
     res = con.execute(oracle_sql)
     duck_cols = [d[0] for d in res.description]
