@@ -42,6 +42,14 @@ def main():
         help="also materialize the prec:targetGraph quad variant into "
         "<output>/quads, one parquet partition per named graph",
     )
+    ap.add_argument(
+        "--stream-merge",
+        action="store_true",
+        help="also replay the transcripts as an event-time-ordered "
+        "3-batch stream and MERGE (insert-if-absent) the triples into "
+        "<output>/kg_stream via foreachBatch — the lakehouse ingest "
+        "path; reports the table count and that it is duplicate-free",
+    )
     args = ap.parse_args()
 
     from prec_spark.pipeline import run_pipeline
@@ -69,6 +77,30 @@ def main():
         summary["named_graphs"] = sorted(
             r.g for r in back.select("g").distinct().collect()
         )
+    if args.stream_merge:
+        from prec_spark.streaming.kg import (
+            kg_stream_merge_to_parquet,
+            stage_stream_source,
+        )
+
+        src = os.path.join(args.output, "stream_src")
+        stage_stream_source(spark, args.input, src)
+        table = kg_stream_merge_to_parquet(
+            spark,
+            src,
+            os.path.join(args.output, "kg_stream"),
+            checkpoint_dir=os.path.join(args.output, "stream_ckpt"),
+            # the transcripts corpus spans years of event time; the
+            # horizon must cover its intra-conversation gaps
+            watermark="200 days",
+            horizon_ms=200 * 24 * 3600 * 1000,
+        )
+        total = table.count()
+        distinct = table.select("s", "p", "o").distinct().count()
+        summary["stream_merge"] = {
+            "triples": total,
+            "duplicate_free": total == distinct,
+        }
     print(json.dumps(summary))
     spark.stop()
 
