@@ -78,11 +78,21 @@ def main():
             r.g for r in back.select("g").distinct().collect()
         )
     if args.stream_merge:
+        import shutil
+
         from prec_spark.streaming.kg import (
             kg_stream_merge_to_parquet,
             stage_stream_source,
         )
 
+        # The file-stream checkpoint tracks staged source files BY
+        # PATH: rerunning into an existing output dir with different
+        # input would silently skip the overwritten same-named batch
+        # files and leave stale kg_stream contents. These three dirs
+        # are derived artifacts of THIS run — clear them so every run
+        # starts from a clean checkpoint.
+        for d in ("stream_src", "stream_ckpt", "kg_stream"):
+            shutil.rmtree(os.path.join(args.output, d), ignore_errors=True)
         src = os.path.join(args.output, "stream_src")
         stage_stream_source(spark, args.input, src)
         table = kg_stream_merge_to_parquet(

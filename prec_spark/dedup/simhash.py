@@ -203,6 +203,17 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iters with labels still moving means the
+        # result is NOT the documented transitive closure (a component
+        # with diameter > max_iters keeps non-transitive labels) and
+        # would silently diverge from the oracle's exact recursive
+        # closure — fail loudly instead.
+        raise RuntimeError(
+            f"simhash_cc_groups_df did not reach a fixpoint in "
+            f"{max_iters} iterations ({changed} labels still changing); "
+            f"raise max_iters (rounds needed = component diameter)"
+        )
     return fp.join(labels, "simhash64").select(
         "doc_id", "simhash64", F.col("label").alias("canonical_doc_id")
     )

@@ -27,6 +27,7 @@ flagship ∪ entity triples on the same input (tests/test_streaming_kg).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -265,8 +266,6 @@ def kg_stream_merge_to_parquet(
     pruning bound the read instead of a full scan. The merge shape —
     batch dedup, key anti-join, append — is identical.
     """
-    import os
-
     reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -278,11 +277,15 @@ def kg_stream_merge_to_parquet(
     def _merge(batch_df: DataFrame, _epoch_id: int) -> None:
         sess = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["s", "p", "o"])
-        if os.path.isdir(out_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(out_dir)
-        ):
+        # Detect existing table state through Spark (works for any
+        # filesystem the session can read — hdfs://, s3a://, file:),
+        # not a driver-local os.listdir, so checkpoint-replayed batches
+        # stay idempotent on non-local table paths too.
+        try:
             existing = sess.read.parquet(out_dir)
             batch = batch.join(existing, ["s", "p", "o"], "left_anti")
+        except AnalysisException:
+            pass  # no data yet (path absent or schema-less): first write
         # materialize the anti-join BEFORE appending to the same path
         # (a lazy plan would race its own output files)
         batch.localCheckpoint().write.mode("append").parquet(out_dir)

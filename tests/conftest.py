@@ -1,4 +1,5 @@
 import os
+import re
 import sys
 
 import pytest
@@ -43,9 +44,16 @@ def _build(app_name: str, mod: str | None = None):
     # here is silently ignored. build_session re-applies the small-heap
     # guards in that case; we additionally cap parallelism so a module
     # tuned for a big heap doesn't run wide on the small one.
+    # Runtime.maxMemory() reads slightly BELOW -Xmx even when the JVM
+    # was launched at exactly the requested size, so compare against a
+    # 0.9 tolerance, and only ever NARROW the module's requested master
+    # (a default-4g module must not be widened from local[4] to
+    # local[8] by this guard).
     actual = _running_jvm_max_heap()
-    if actual is not None and actual < _mem_bytes(want_mem):
-        master = "local[8]"
+    if actual is not None and actual < 0.9 * _mem_bytes(want_mem):
+        m = re.fullmatch(r"local\[(\d+)\]", master)
+        if m is None or int(m.group(1)) > 8:
+            master = "local[8]"
     return build_session(
         app_name=app_name,
         master=master,

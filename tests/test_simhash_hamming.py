@@ -143,6 +143,15 @@ def test_chain_semantics_neighborhood_vs_cc(spark):
     }
     assert cc == {(1, 1), (2, 1), (10, 1), (20, 1)}
 
+    # r4 ADVICE: exhausting max_iters while labels still move would
+    # silently violate the documented transitive-closure contract (and
+    # diverge from the oracle's exact recursive closure) — it must
+    # raise, never return non-transitive labels.
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        simhash_cc_groups_df(fp, max_iters=1)
+
 
 def test_cc_matches_neighborhood_when_no_chains(spark, sf_dir):
     """On the sf0.001 corpus (near-dups are exact clones; no >radius
