@@ -1,0 +1,55 @@
+"""Session-scoped shared input caches.
+
+Query entry points take (spark, sf_dir) and are invoked repeatedly in
+one session (driver oracle gate: 33 queries; bench: cold + N warm reps
+each). A bare ``transcripts_df(...).cache()`` inside the entry point
+creates a FRESH cached DataFrame per call that nothing ever
+unpersists: 3 bench reps of the PREC-0 query alone leaked 9 cached
+inputs, and the accumulated storage (MEMORY_AND_DISK spills land in
+the tmpfs spark.local.dir — i.e. back in RAM) degraded later queries
+by 3-4x (round-5 profiling: prec0_triples rep 17s/12s/43s).
+
+``shared_cached_df`` memoizes the cached DataFrame per (application,
+key): every call reuses the ONE cache entry, exactly like a real
+long-lived session that caches its inputs once. If the cache was
+dropped externally (``spark.catalog.clearCache()`` between oracle-gate
+queries), the entry is re-marked for caching on next use; if the
+session changed, the registry resets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REG: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_cached_df(
+    spark: SparkSession, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return ``build()`` cached, memoized per (session, key)."""
+    app = spark.sparkContext.applicationId
+    k = (app, key)
+    df = _REG.get(k)
+    if df is None:
+        if any(a != app for (a, _) in _REG):
+            _REG.clear()  # previous session's entries are dead plans
+        df = build().cache()
+        _REG[k] = df
+    elif not df.storageLevel.useMemory:
+        # spark.catalog.clearCache() dropped it (oracle-gate hygiene):
+        # re-mark so the next action re-populates the single entry
+        df = df.cache()
+        _REG[k] = df
+    return df
+
+
+def cached_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts PG input, cached once per session."""
+    from .transcripts import transcripts_df
+
+    return shared_cached_df(
+        spark, f"transcripts:{sf_dir}", lambda: transcripts_df(spark, sf_dir)
+    )

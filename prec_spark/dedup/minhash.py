@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cached import shared_cached_df
 from .common import SHINGLES_CTE, doc_shingles
 
 N_PERMS = 8
@@ -38,7 +39,14 @@ def dedup_minhash_pairs(
 
     `shingles` overrides the documents-table shingling (tests inject
     skewed corpora through it)."""
-    ex = (shingles if shingles is not None else doc_shingles(spark, sf_dir)).cache()
+    ex = (
+        shingles.cache()
+        if shingles is not None
+        else shared_cached_df(
+            spark, f"doc_shingles:{sf_dir}",
+            lambda: doc_shingles(spark, sf_dir),
+        )
+    )
     mh = _minhashes(ex)
 
     bands = None

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..text.analysis import doc_fingerprint, doc_fingerprint_oracle_sql
+from ..text.analysis import (
+    cached_doc_fingerprint,
+    doc_fingerprint,
+    doc_fingerprint_oracle_sql,
+)
 
 BANDS = 4
 BAND_BITS = 16
@@ -68,7 +72,7 @@ def _hamming_col(a: str, b: str):
 
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, bucket_size, canonical_doc_id)."""
-    fp = doc_fingerprint(spark, sf_dir)
+    fp = cached_doc_fingerprint(spark, sf_dir)
     w = Window.partitionBy("simhash64")
     return fp.select(
         "doc_id",
@@ -92,16 +96,23 @@ def band_candidates(reps: DataFrame) -> DataFrame:
     """Banded LSH candidate pairs over distinct fingerprints.
 
     reps: (simhash64, rep_doc). Returns (fa, fa_rep, fb, fb_rep) with
-    fa < fb, each pair agreeing on at least one band."""
-    bands = None
-    for b in range(BANDS):
-        part = reps.select(
-            "simhash64",
-            "rep_doc",
-            F.lit(b).alias("band"),
-            F.substring("simhash64", 1 + b * BAND_BITS, BAND_BITS).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    fa < fb, each pair agreeing on at least one band.
+
+    Banding is a posexplode over one array of band keys — a single
+    scan of reps per join side (the 4-branch union form re-ran the
+    upstream distinct-fingerprint aggregate 8x)."""
+    bands = reps.select(
+        "simhash64",
+        "rep_doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash64", 1 + b * BAND_BITS, BAND_BITS)
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a, c = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -128,9 +139,19 @@ def simhash_hamming_groups_df(fp: DataFrame) -> DataFrame:
     # materialize it once (at cluster scale: checkpoint the ~N-row,
     # few-bytes-per-doc fingerprint table, not the corpus)
     fp = fp.select("doc_id", "simhash64").localCheckpoint()
-    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
-    verified = band_candidates(reps).filter(
-        _hamming_col("fa", "fb") <= HAMMING_MAX
+    # reps is tiny (distinct fingerprints) and read by both join sides
+    # of the band join plus the final canon join — materialize once
+    reps = (
+        fp.groupBy("simhash64")
+        .agg(F.min("doc_id").alias("rep_doc"))
+        .localCheckpoint()
+    )
+    # verified feeds BOTH directions of the undirected edge union;
+    # checkpoint so the band join + Hamming verify runs once, not twice
+    verified = (
+        band_candidates(reps)
+        .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
+        .localCheckpoint()
     )
     # undirected neighbor edges between fingerprints, then the min
     # representative over each fingerprint's radius-neighborhood
@@ -159,23 +180,35 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
     them different canonicals per doc — both semantics are pinned by
     tests/test_simhash_hamming.py).
 
-    Min-label propagation to fixpoint: each round takes the min label
-    over a fingerprint's neighbors, bounded by max_iters and stopped
-    early when no label changes (a `count` action per round). Rounds
-    needed = component diameter; near-dup chains in web corpora are
-    short, and every round is edge-partitioned shuffles over the
+    Min-label propagation WITH POINTER DOUBLING to fixpoint: each
+    round takes the min label over a fingerprint's neighbors, then
+    additionally follows one label indirection (label <- min(label,
+    label(label))), so rounds needed = O(log diameter) instead of
+    O(diameter) — a 2^20-long chain converges within the default
+    max_iters. Every label is always some fingerprint's rep_doc, so
+    the indirection joins are total (inner). Stops early when no label
+    changes (a cheap filter-count on the round's checkpointed frame);
+    every round is edge-partitioned shuffles over the
     DISTINCT-fingerprint graph, never per-doc."""
     fp = fp.select("doc_id", "simhash64").localCheckpoint()
-    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
-    verified = band_candidates(reps).filter(
-        _hamming_col("fa", "fb") <= HAMMING_MAX
-    )
-    edges = (
-        verified.select(F.col("fa").alias("f"), F.col("fb").alias("g"))
-        .unionByName(
-            verified.select(F.col("fb").alias("f"), F.col("fa").alias("g"))
-        )
+    reps = (
+        fp.groupBy("simhash64")
+        .agg(F.min("doc_id").alias("rep_doc"))
         .localCheckpoint()
+    )
+    verified = (
+        band_candidates(reps)
+        .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
+        .localCheckpoint()  # feeds both union directions: run once
+    )
+    edges = verified.select(
+        F.col("fa").alias("f"), F.col("fb").alias("g")
+    ).unionByName(
+        verified.select(F.col("fb").alias("f"), F.col("fa").alias("g"))
+    )
+    # doc label -> the fingerprint it represents (for the doubling hop)
+    rep_fp = reps.select(
+        F.col("rep_doc").alias("mid_doc"), F.col("simhash64").alias("mid_fp")
     )
     labels = reps.select("simhash64", F.col("rep_doc").alias("label"))
     for _ in range(max_iters):
@@ -184,23 +217,32 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("f")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels["simhash64"] == nbr["f"], "left")
             .select(
                 "simhash64",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+                ).alias("mid"),
+            )
+            .localCheckpoint()  # read twice below (rows + indirection map)
+        )
+        mid_lbl = stepped.select(
+            F.col("simhash64").alias("ms"), F.col("mid").alias("mlabel")
+        )
+        new_labels = (
+            stepped.join(rep_fp, stepped["mid"] == rep_fp["mid_doc"])
+            .join(mid_lbl, F.col("mid_fp") == F.col("ms"))
+            .select(
+                "simhash64",
+                "old",
+                F.least(F.col("mid"), F.col("mlabel")).alias("label"),
             )
             .localCheckpoint()  # truncate the per-round lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("simhash64", F.col("label").alias("old")), "simhash64")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("simhash64", "label")
         if changed == 0:
             break
     else:
@@ -222,7 +264,7 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
 def dedup_simhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, canonical_doc_id) — TRANSITIVE near-dup
     groups (connected components of the radius-3 fingerprint graph)."""
-    return simhash_cc_groups_df(doc_fingerprint(spark, sf_dir))
+    return simhash_cc_groups_df(cached_doc_fingerprint(spark, sf_dir))
 
 
 def dedup_simhash_cc_oracle_sql() -> str:
@@ -268,7 +310,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, canonical_doc_id) — canonical near-dup
     groups at Hamming radius 3, found exactly via 4x16-bit LSH bands
     over distinct fingerprints (see module docstring)."""
-    return simhash_hamming_groups_df(doc_fingerprint(spark, sf_dir))
+    return simhash_hamming_groups_df(cached_doc_fingerprint(spark, sf_dir))
 
 
 def dedup_simhash_hamming_oracle_sql() -> str:

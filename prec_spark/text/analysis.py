@@ -157,6 +157,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_df(load_table(spark, sf_dir, "documents"))
 
 
+def cached_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_fingerprint, cached once per session: the 65-aggregate
+    fingerprint shuffle is the shared front of every simhash dedup
+    family — three entry-point queries recomputing it per call paid
+    ~2 s each warm at sf0.1."""
+    from ..cached import shared_cached_df
+
+    return shared_cached_df(
+        spark, f"doc_fingerprint:{sf_dir}",
+        lambda: doc_fingerprint(spark, sf_dir),
+    )
+
+
 def doc_fingerprint_oracle_sql() -> str:
     bit_exprs = ", ".join(
         f"sum(CASE WHEN instr('{_HEX_BIT_SETS[b]}', substr(h, {i}, 1)) > 0"
