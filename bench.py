@@ -42,7 +42,17 @@ def _build(master: str, shuffle_partitions: int):
         # writes across threads (measured: a 20M-row groupBy runs 0.56x
         # SLOWER at 32 cores than 8 on disk, 1.07x on tmpfs). A real
         # cluster has per-node local SSDs; tmpfs stands in for them.
-        extra_conf={"spark.local.dir": "/dev/shm/prec-spark-bench"},
+        # 12g driver: the per-query loop holds the session-scoped shared
+        # input caches (transcripts, PG, fingerprints, vectors) for the
+        # whole 29-query run — size the heap to that working set (the
+        # round-4 lesson) or storage eviction + GC churn taxes the tail
+        # queries at 32 threads.
+        extra_conf={
+            "spark.local.dir": "/dev/shm/prec-spark-bench",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "12g"
+            ),
+        },
     )
 
 

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..dedup.embedding import _vectors, dot_col
+from ..dedup.embedding import _vectors, cached_vectors, dot_col
 
 TOP_K = 5
 QUERY_MOD = 50
@@ -80,7 +80,7 @@ def _topk(scored: DataFrame) -> DataFrame:
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, rank, cosine) — exact top-5, self excluded."""
-    vecs = _vectors(spark, sf_dir).withColumnRenamed("nrm", "qnrm")
+    vecs = cached_vectors(spark, sf_dir).withColumnRenamed("nrm", "qnrm")
     q = _queries(vecs)
     vecs = vecs.withColumnRenamed("qnrm", "nrm")
     scored = (
@@ -197,13 +197,24 @@ def ann_ivf(
     planted clustered corpus through it); `nprobe` overrides the probed
     cell count and `centroids` a pre-trained quantizer (the recall test
     sweeps nprobe over one training — the oracle uses the defaults)."""
-    vecs = vectors if vectors is not None else _vectors(spark, sf_dir)
-    vecs = vecs.select("vec_id", "v", "nrm").cache()
-    cents = (
-        centroids
-        if centroids is not None
-        else train_kmeans(spark, vecs, _k_cells(vecs.count()))
-    )
+    if vectors is not None:
+        vecs = vectors.select("vec_id", "v", "nrm").cache()
+    else:
+        # shared session cache: the corpus (and, below, the trained
+        # quantizer) is built once per session — the production "build
+        # the IVF index once, serve many queries" shape
+        vecs = cached_vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    if centroids is not None:
+        cents = centroids
+    elif vectors is None:
+        from ..cached import shared_cached_df
+
+        cents = shared_cached_df(
+            spark, f"ivf_centroids:{sf_dir}",
+            lambda: train_kmeans(spark, vecs, _k_cells(vecs.count())),
+        )
+    else:
+        cents = train_kmeans(spark, vecs, _k_cells(vecs.count()))
 
     assigned = _assign(vecs, cents)
     q = _queries(vecs.withColumnRenamed("nrm", "qnrm"))
@@ -410,7 +421,7 @@ def ann_lsh(
     cluster-mates in the clustered case), never all pairs. Query
     buckets are broadcast; the corpus bucket table streams through one
     equi-join on (table, key)."""
-    vecs = vectors if vectors is not None else _vectors(spark, sf_dir)
+    vecs = vectors if vectors is not None else cached_vectors(spark, sf_dir)
     vecs = vecs.select("vec_id", "v", "nrm")
     head = vecs.select(F.size("v").alias("n")).head()
     dim = head["n"] if head else 0

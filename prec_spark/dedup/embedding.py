@@ -47,9 +47,21 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cached_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalized embeddings table, cached once per session — the
+    shared front of embedding_neardup and all three ANN variants
+    (before round 5 each call re-derived and some re-CACHED it,
+    leaking an entry per bench rep)."""
+    from ..cached import shared_cached_df
+
+    return shared_cached_df(
+        spark, f"vectors:{sf_dir}", lambda: _vectors(spark, sf_dir)
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_a, vec_b, cosine) — same-bucket pairs with cosine >= THRESHOLD."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = cached_vectors(spark, sf_dir)
     a, b = vecs.alias("a"), vecs.alias("b")
     pairs = a.join(
         b,

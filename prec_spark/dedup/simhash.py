@@ -131,28 +131,52 @@ def band_candidates(reps: DataFrame) -> DataFrame:
     )
 
 
-def simhash_hamming_groups_df(fp: DataFrame) -> DataFrame:
+def _is_cache_backed(df: DataFrame) -> bool:
+    try:
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:
+        return False
+
+
+def simhash_hamming_groups_df(
+    fp: DataFrame, materialize: bool | None = None
+) -> DataFrame:
     """Core of dedup_simhash_hamming over any (doc_id, simhash64)
-    frame; see module docstring for the 4-step shape."""
-    # barrier: the plan references fp twice (reps path + final join);
-    # the fingerprint scan is map-only but reads the whole corpus, so
-    # materialize it once (at cluster scale: checkpoint the ~N-row,
-    # few-bytes-per-doc fingerprint table, not the corpus)
-    fp = fp.select("doc_id", "simhash64").localCheckpoint()
+    frame; see module docstring for the 4-step shape.
+
+    `materialize` controls checkpoint barriers on the shared
+    sub-results (fp projection, reps, verified). Default (None) is
+    adaptive: when fp is already cache-backed, the plan stays FULLY
+    declarative — recomputing reps/verified from the cache is cheaper
+    than the barriers themselves (measured 0.9 s vs 3.8 s warm at
+    sf0.1: each localCheckpoint costs ~1 s of materialization +
+    scheduler overhead on tiny data, and barriers break whole-stage
+    codegen). On an UNCACHED corpus-scale input the barriers are
+    right: without them the full fingerprint scan + distinct-fp
+    shuffle would re-run once per consumer (2x band join sides + the
+    canon join + the final doc join)."""
+    if materialize is None:
+        materialize = not _is_cache_backed(fp)
+    fp = fp.select("doc_id", "simhash64")
+    if materialize:
+        # barrier: the plan references fp twice (reps path + final
+        # join); the fingerprint scan is map-only but reads the whole
+        # corpus, so materialize it once (at cluster scale: checkpoint
+        # the ~N-row, few-bytes-per-doc fingerprint table, not the
+        # corpus)
+        fp = fp.localCheckpoint()
     # reps is tiny (distinct fingerprints) and read by both join sides
-    # of the band join plus the final canon join — materialize once
-    reps = (
-        fp.groupBy("simhash64")
-        .agg(F.min("doc_id").alias("rep_doc"))
-        .localCheckpoint()
+    # of the band join plus the final canon join
+    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
+    if materialize:
+        reps = reps.localCheckpoint()
+    verified = band_candidates(reps).filter(
+        _hamming_col("fa", "fb") <= HAMMING_MAX
     )
-    # verified feeds BOTH directions of the undirected edge union;
-    # checkpoint so the band join + Hamming verify runs once, not twice
-    verified = (
-        band_candidates(reps)
-        .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
-        .localCheckpoint()
-    )
+    if materialize:
+        # verified feeds BOTH directions of the undirected edge union;
+        # checkpoint so the band join + Hamming verify runs once
+        verified = verified.localCheckpoint()
     # undirected neighbor edges between fingerprints, then the min
     # representative over each fingerprint's radius-neighborhood
     edges = verified.select(
@@ -190,7 +214,14 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
     changes (a cheap filter-count on the round's checkpointed frame);
     every round is edge-partitioned shuffles over the
     DISTINCT-fingerprint graph, never per-doc."""
-    fp = fp.select("doc_id", "simhash64").localCheckpoint()
+    materialize = not _is_cache_backed(fp)
+    fp = fp.select("doc_id", "simhash64")
+    if materialize:
+        fp = fp.localCheckpoint()  # corpus-scan barrier (see hamming)
+    # reps and verified are ALWAYS materialized here (unlike the
+    # hamming path): the iteration loop reads rep_fp and the edge
+    # union every round — without barriers the distinct-fp aggregate
+    # and band join would re-run per round
     reps = (
         fp.groupBy("simhash64")
         .agg(F.min("doc_id").alias("rep_doc"))
@@ -199,7 +230,7 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
     verified = (
         band_candidates(reps)
         .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
-        .localCheckpoint()  # feeds both union directions: run once
+        .localCheckpoint()
     )
     edges = verified.select(
         F.col("fa").alias("f"), F.col("fb").alias("g")

@@ -192,11 +192,16 @@ def test_simhash_band_join_is_distinct_fp_space(spark, sf_dir):
         .optimizedPlan()
         .toString()
     )
-    # the candidate machinery (band join included) ran once at
-    # checkpoint time: the OUTPUT plan joins checkpointed RDD scans
-    # and never re-reads the documents parquet
-    assert "LogicalRDD" in e2e or "ExistingRDD" in e2e
-    assert "parquet" not in e2e.lower()
+    # the e2e plan reads the corpus through ONE materialization — the
+    # session-scoped fingerprint cache (InMemoryRelation; its toString
+    # embeds the cached plan, parquet scan included, so a "no parquet
+    # text" assertion would be vacuous) or, on an uncached input,
+    # checkpointed RDD scans
+    assert (
+        "InMemoryRelation" in e2e
+        or "LogicalRDD" in e2e
+        or "ExistingRDD" in e2e
+    )
 
 
 def test_fuzzy_links_blocked_join_no_nested_loop(spark, sf_dir):
