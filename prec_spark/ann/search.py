@@ -425,7 +425,19 @@ def ann_lsh(
     vecs = vecs.select("vec_id", "v", "nrm")
     head = vecs.select(F.size("v").alias("n")).head()
     dim = head["n"] if head else 0
-    buckets = lsh_bucket_keys(vecs, dim)
+    if vectors is None:
+        # the bucket table feeds BOTH join sides (corpus + queries) and
+        # the 128 interpreted hyperplane dots per vector are the
+        # expensive part — hash the corpus once per session ("build the
+        # LSH index once"), like the IVF centroids
+        from ..cached import shared_cached_df
+
+        buckets = shared_cached_df(
+            spark, f"lsh_buckets:{sf_dir}",
+            lambda: lsh_bucket_keys(vecs, dim),
+        )
+    else:
+        buckets = lsh_bucket_keys(vecs, dim)
     qb = (
         buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(

@@ -69,6 +69,17 @@ def _triples(df: DataFrame, s: Column, p: Column, o: Column) -> DataFrame:
     return df.select(s.alias("s"), p.alias("p"), o.alias("o"))
 
 
+def _quad(s: Column, p: Column, o: Column) -> Column:
+    """One (s, p, o) struct — element of a fused quad array."""
+    return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+
+def _explode_quads(df: DataFrame, quads: Column) -> DataFrame:
+    """Explode an array<struct<s,p,o>> column into triple rows — the
+    fused form of several per-element union branches over one scan."""
+    return df.select(F.explode(quads).alias("q")).select("q.s", "q.p", "q.o")
+
+
 def prec0_quads(
     nodes: DataFrame,
     edges: DataFrame,
@@ -92,12 +103,33 @@ def prec0_quads(
     prec = f"<{PREC_NS}%s>"
 
     # ---- nodes ------------------------------------------------------
+    # element-keyed quads fused into ONE explode branch per source
+    # (round 5): the typing quad + per-label quads come out of a single
+    # scan of nodes instead of one scan per family — at corpus scale
+    # each union branch is a full pass over the PG
     n = nodes
-    parts.append(_triples(n, _bn(F.col("node_id")), F.lit(RDF_TYPE), F.lit(PGO_NODE)))
+    node_bn = _bn(F.col("node_id"))
+    parts.append(
+        _explode_quads(
+            n,
+            F.concat(
+                F.array(_quad(node_bn, F.lit(RDF_TYPE), F.lit(PGO_NODE))),
+                F.transform(
+                    F.array_distinct("labels"),
+                    lambda l: _quad(
+                        node_bn,
+                        F.lit(RDF_TYPE),
+                        F.concat(
+                            F.lit(f"<{vocab}node/label/"), l, F.lit(">")
+                        ),
+                    ),
+                ),
+            ),
+        )
+    )
 
     nlab = n.select(F.col("node_id"), F.explode(F.array_distinct("labels")).alias("label"))
     label_iri = _iri(vocab + "node/label/", F.col("label"))
-    parts.append(_triples(nlab, _bn(F.col("node_id")), F.lit(RDF_TYPE), label_iri))
 
     # label metadata from the (tiny) distinct-label dimension
     label_dim = nlab.select("label").distinct()
@@ -123,10 +155,18 @@ def prec0_quads(
     e = edges
     edge_bn = _bn(F.col("edge_id"))
     elabel_iri = _iri(vocab + "edge/label/", F.col("label"))
-    parts.append(_triples(e, edge_bn, F.lit(RDF_TYPE), F.lit(PGO_EDGE)))
-    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}subject>"), _bn(F.col("src_id"))))
-    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}object>"), _bn(F.col("dst_id"))))
-    parts.append(_triples(e, edge_bn, F.lit(f"<{RDF_NS}predicate>"), elabel_iri))
+    # the 4 reification quads per edge in one explode branch
+    parts.append(
+        _explode_quads(
+            e,
+            F.array(
+                _quad(edge_bn, F.lit(RDF_TYPE), F.lit(PGO_EDGE)),
+                _quad(edge_bn, F.lit(f"<{RDF_NS}subject>"), _bn(F.col("src_id"))),
+                _quad(edge_bn, F.lit(f"<{RDF_NS}object>"), _bn(F.col("dst_id"))),
+                _quad(edge_bn, F.lit(f"<{RDF_NS}predicate>"), elabel_iri),
+            ),
+        )
+    )
 
     elabel_dim = e.select("label").distinct()
     parts.append(_triples(elabel_dim, elabel_iri, F.lit(RDFS_LABEL), _lit_str(F.col("label"))))
@@ -246,59 +286,74 @@ def _property_quads(
     # metadata from the distinct (key, label_tag) dimension
     key_dim = props.select("key", "prop_iri_body").distinct()
     key_dim_iri = _iri(F.col("prop_iri_body"))
-    out = [
-        _triples(props, _bn(F.col("holder_id")), prop_iri, F.col("value_bn")),
-        _triples(props, F.col("value_bn"), F.lit(RDF_TYPE), F.lit(prec % "PropertyKeyValue")),
-        _triples(key_dim, key_dim_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
-        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
-        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
-        # scalar values: (_:pv, rdf:value, literal)
-        _triples(
-            props.filter(~F.col("is_list")),
-            F.col("value_bn"),
-            F.lit(f"<{RDF_NS}value>"),
-            F.col("value"),
-        ),
-    ]
 
-    # list values: (_:pv, rdf:value, _:listN1) + first/rest chain
-    lists = (
-        props.filter(F.col("is_list"))
-        .withColumn("items", F.regexp_extract_all("value", F.lit(_LITERAL_RE), F.lit(0)))
-        .withColumn("n_items", F.size("items"))
-    )
+    # per-value-row quads fused into ONE explode branch (round 5): the
+    # holder→value link, the PropertyKeyValue typing, and the value
+    # encoding (scalar rdf:value | empty-list nil | list head +
+    # rdf:first/rest chain) all come out of a single pass over the
+    # exploded property rows instead of six filtered branches
+    rdf_value = F.lit(f"<{RDF_NS}value>")
+    nil = F.lit(f"<{RDF_NS}nil>")
+    rows = props.withColumn(
+        "items",
+        F.when(
+            F.col("is_list"),
+            F.regexp_extract_all("value", F.lit(_LITERAL_RE), F.lit(0)),
+        ).otherwise(F.array()),
+    ).withColumn("n_items", F.size("items"))
     list_bn = lambda pos: F.concat(  # noqa: E731
         F.lit("_:list_"),
         sanitize_id_col(F.col("value_bn")),
         F.lit("_"),
         pos.cast("string"),
     )
-    items = lists.select(
-        "value_bn", "n_items", F.posexplode("items").alias("pos", "item")
+    value_quads = (
+        F.when(
+            ~F.col("is_list"),
+            F.array(_quad(F.col("value_bn"), rdf_value, F.col("value"))),
+        )
+        .when(
+            F.col("n_items") == 0,
+            F.array(_quad(F.col("value_bn"), rdf_value, nil)),
+        )
+        .otherwise(
+            F.concat(
+                F.array(_quad(F.col("value_bn"), rdf_value, list_bn(F.lit(0)))),
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda item, pos: F.array(
+                            _quad(list_bn(pos), F.lit(f"<{RDF_NS}first>"), item),
+                            _quad(
+                                list_bn(pos),
+                                F.lit(f"<{RDF_NS}rest>"),
+                                F.when(
+                                    pos == F.col("n_items") - 1, nil
+                                ).otherwise(list_bn(pos + 1)),
+                            ),
+                        ),
+                    )
+                ),
+            )
+        )
     )
-    out.extend(
-        [
-            _triples(
-                lists.filter(F.col("n_items") > 0),
-                F.col("value_bn"),
-                F.lit(f"<{RDF_NS}value>"),
-                list_bn(F.lit(0)),
+    out = [
+        _explode_quads(
+            rows,
+            F.concat(
+                F.array(
+                    _quad(_bn(F.col("holder_id")), prop_iri, F.col("value_bn")),
+                    _quad(
+                        F.col("value_bn"),
+                        F.lit(RDF_TYPE),
+                        F.lit(prec % "PropertyKeyValue"),
+                    ),
+                ),
+                value_quads,
             ),
-            _triples(
-                lists.filter(F.col("n_items") == 0),
-                F.col("value_bn"),
-                F.lit(f"<{RDF_NS}value>"),
-                F.lit(f"<{RDF_NS}nil>"),
-            ),
-            _triples(items, list_bn(F.col("pos")), F.lit(f"<{RDF_NS}first>"), F.col("item")),
-            _triples(
-                items,
-                list_bn(F.col("pos")),
-                F.lit(f"<{RDF_NS}rest>"),
-                F.when(
-                    F.col("pos") == F.col("n_items") - 1, F.lit(f"<{RDF_NS}nil>")
-                ).otherwise(list_bn(F.col("pos") + 1)),
-            ),
-        ]
-    )
+        ),
+        _triples(key_dim, key_dim_iri, F.lit(RDFS_LABEL), _lit_str(F.col("key"))),
+        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "PropertyKey")),
+        _triples(key_dim, key_dim_iri, F.lit(RDF_TYPE), F.lit(prec % "CreatedPropertyKey")),
+    ]
     return out, key_dim
