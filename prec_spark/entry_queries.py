@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .cached import cached_transcripts
 from .flagship import flagship_oracle_sql, flagship_triples
+from .pg.export import cypher_create_statements, gremlin_insert_statements
 from .pg.projection import pg_edges, pg_nodes
 from .prec0 import prec0_quads
 from .text.mentions import (
@@ -86,7 +87,7 @@ def _t_cte() -> str:
 
 
 def _pg_nodes_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_df(spark, sf_dir)
+    t = cached_transcripts(spark, sf_dir)
     return pg_nodes(t).select(
         "node_id",
         F.array_join("labels", "|").alias("labels_key"),
@@ -109,7 +110,7 @@ SELECT DISTINCT 'tool:' || tool, 'Tool', 'name' FROM t WHERE tool IS NOT NULL
 
 
 def _pg_edges_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_df(spark, sf_dir)
+    t = cached_transcripts(spark, sf_dir)
     return pg_edges(t).select("edge_id", "src_id", "dst_id", "label")
 
 
@@ -131,6 +132,138 @@ FROM tm
 UNION ALL
 SELECT 'edge:uses:' || conv_id || ':' || CAST(turn_idx AS VARCHAR),
        {turn}, 'tool:' || tool, 'USES'
+FROM tm WHERE tool IS NOT NULL
+"""
+
+
+def _cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cached_transcripts(spark, sf_dir)
+    return cypher_create_statements(pg_nodes(t), pg_edges(t))
+
+
+def _nt_esc_sql(col: str) -> str:
+    """N-Triples escape chain in SQL (mirror of nt_escape_col)."""
+    out = col
+    for raw, esc in [
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        (chr(10), "\\n"),
+        (chr(13), "\\r"),
+        (chr(9), "\\t"),
+    ]:
+        raw_sql = raw.replace("'", "''")
+        esc_sql = esc.replace("'", "''")
+        out = f"replace({out}, '{raw_sql}', '{esc_sql}')"
+    return out
+
+
+def _groovy_esc_sql(col: str) -> str:
+    """Groovy single-quote escape chain in SQL (mirror of
+    _gremlin_string over term-escaped content: backslash/newline/tab
+    escapes kept, quote flavor swapped)."""
+    out = col
+    for raw, esc in [
+        ("\\", "\\\\"),
+        (chr(10), "\\n"),
+        (chr(13), "\\r"),
+        (chr(9), "\\t"),
+        ("'", "\\'"),
+    ]:
+        raw_sql = raw.replace("'", "''")
+        esc_sql = esc.replace("'", "''")
+        out = f"replace({out}, '{raw_sql}', '{esc_sql}')"
+    return out
+
+
+def _cypher_create_oracle() -> str:
+    turn = "'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    text = _nt_esc_sql("text")
+    tool = _nt_esc_sql("tool")
+    return f"""
+{_t_cte()}, tm AS (
+  SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx FROM t
+)
+SELECT 'node' AS kind,
+       'CREATE (:Turn:' || role || ' {{`_prec_id`: "' || {turn}
+       || '", text: "' || {text} || '"'
+       || CASE WHEN tool IS NOT NULL
+               THEN ', tool: "' || {tool} || '"' ELSE '' END
+       || '}})' AS stmt
+FROM t
+UNION ALL
+SELECT DISTINCT 'node',
+       'CREATE (:Conversation {{`_prec_id`: "conv:' || conv_id
+       || '", id: "' || conv_id || '"}})'
+FROM t
+UNION ALL
+SELECT DISTINCT 'node',
+       'CREATE (:Tool {{`_prec_id`: "tool:' || tool
+       || '", name: "' || tool || '"}})'
+FROM t WHERE tool IS NOT NULL
+UNION ALL
+SELECT 'edge',
+       'MATCH (s {{`_prec_id`: "' || {turn} || '"}}), (d {{`_prec_id`: "turn:'
+       || conv_id || ':' || CAST(turn_idx + 1 AS VARCHAR)
+       || '"}}) CREATE (s)-[:NEXT]->(d)'
+FROM tm WHERE turn_idx < max_turn_idx
+UNION ALL
+SELECT 'edge',
+       'MATCH (s {{`_prec_id`: "' || {turn} || '"}}), (d {{`_prec_id`: "conv:'
+       || conv_id || '"}}) CREATE (s)-[:IN]->(d)'
+FROM tm
+UNION ALL
+SELECT 'edge',
+       'MATCH (s {{`_prec_id`: "' || {turn} || '"}}), (d {{`_prec_id`: "tool:'
+       || tool || '"}}) CREATE (s)-[:USES]->(d)'
+FROM tm WHERE tool IS NOT NULL
+"""
+
+
+def _gremlin_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cached_transcripts(spark, sf_dir)
+    return gremlin_insert_statements(pg_nodes(t), pg_edges(t))
+
+
+def _gremlin_insert_oracle() -> str:
+    turn = "'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    text = _groovy_esc_sql("text")
+    tool = _groovy_esc_sql("tool")
+    return f"""
+{_t_cte()}, tm AS (
+  SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx FROM t
+)
+SELECT 'node' AS kind,
+       'g.addV(''Turn::' || role || ''').property(''_prec_id'', ''' || {turn}
+       || ''').property(''text'', ''' || {text} || ''')'
+       || CASE WHEN tool IS NOT NULL
+               THEN '.property(''tool'', ''' || {tool} || ''')' ELSE '' END
+       || '.next()' AS stmt
+FROM t
+UNION ALL
+SELECT DISTINCT 'node',
+       'g.addV(''Conversation'').property(''_prec_id'', ''conv:' || conv_id
+       || ''').property(''id'', ''' || conv_id || ''').next()'
+FROM t
+UNION ALL
+SELECT DISTINCT 'node',
+       'g.addV(''Tool'').property(''_prec_id'', ''tool:' || tool
+       || ''').property(''name'', ''' || tool || ''').next()'
+FROM t WHERE tool IS NOT NULL
+UNION ALL
+SELECT 'edge',
+       'g.V().has(''_prec_id'', ''' || {turn} || ''').addE(''NEXT'')'
+       || '.to(__.V().has(''_prec_id'', ''turn:' || conv_id || ':'
+       || CAST(turn_idx + 1 AS VARCHAR) || ''')).iterate()'
+FROM tm WHERE turn_idx < max_turn_idx
+UNION ALL
+SELECT 'edge',
+       'g.V().has(''_prec_id'', ''' || {turn} || ''').addE(''IN'')'
+       || '.to(__.V().has(''_prec_id'', ''conv:' || conv_id || ''')).iterate()'
+FROM tm
+UNION ALL
+SELECT 'edge',
+       'g.V().has(''_prec_id'', ''' || {turn} || ''').addE(''USES'')'
+       || '.to(__.V().has(''_prec_id'', ''tool:' || tool || ''')).iterate()'
 FROM tm WHERE tool IS NOT NULL
 """
 
@@ -303,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_nodes": _pg_nodes_flat,
         "pg_edges": _pg_edges_flat,
         "prec0_triples": _prec0_triples,
+        "cypher_create": _cypher_create,
+        "gremlin_insert": _gremlin_insert,
         "prsc_transcript_triples": flagship_triples,
         "named_graph_quads": named_graph_quads,
         "precc_triples": precc_transcript_triples,
@@ -341,6 +476,8 @@ def oracle_sql() -> dict[str, str]:
         "pg_nodes": _pg_nodes_oracle(),
         "pg_edges": _pg_edges_oracle(),
         "prec0_triples": _prec0_oracle(),
+        "cypher_create": _cypher_create_oracle(),
+        "gremlin_insert": _gremlin_insert_oracle(),
         "prsc_transcript_triples": flagship_oracle_sql(),
         "named_graph_quads": named_graph_oracle_sql(),
         "precc_triples": precc_oracle_sql(),
