@@ -139,7 +139,9 @@ def _is_cache_backed(df: DataFrame) -> bool:
 
 
 def simhash_hamming_groups_df(
-    fp: DataFrame, materialize: bool | None = None
+    fp: DataFrame,
+    materialize: bool | None = None,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Core of dedup_simhash_hamming over any (doc_id, simhash64)
     frame; see module docstring for the 4-step shape.
@@ -158,25 +160,31 @@ def simhash_hamming_groups_df(
     if materialize is None:
         materialize = not _is_cache_backed(fp)
     fp = fp.select("doc_id", "simhash64")
-    if materialize:
-        # barrier: the plan references fp twice (reps path + final
-        # join); the fingerprint scan is map-only but reads the whole
-        # corpus, so materialize it once (at cluster scale: checkpoint
-        # the ~N-row, few-bytes-per-doc fingerprint table, not the
-        # corpus)
-        fp = fp.localCheckpoint()
-    # reps is tiny (distinct fingerprints) and read by both join sides
-    # of the band join plus the final canon join
-    reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
-    if materialize:
-        reps = reps.localCheckpoint()
-    verified = band_candidates(reps).filter(
-        _hamming_col("fa", "fb") <= HAMMING_MAX
-    )
-    if materialize:
-        # verified feeds BOTH directions of the undirected edge union;
-        # checkpoint so the band join + Hamming verify runs once
-        verified = verified.localCheckpoint()
+    if graph is not None:
+        # session-shared (reps, verified) band graph (cache-backed) —
+        # the expensive index build is paid once per session and
+        # shared with the CC variant
+        reps, verified = graph
+    else:
+        if materialize:
+            # barrier: the plan references fp twice (reps path + final
+            # join); the fingerprint scan is map-only but reads the
+            # whole corpus, so materialize it once (at cluster scale:
+            # checkpoint the ~N-row, few-bytes-per-doc fingerprint
+            # table, not the corpus)
+            fp = fp.localCheckpoint()
+        # reps is tiny (distinct fingerprints) and read by both join
+        # sides of the band join plus the final canon join
+        reps = fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc"))
+        if materialize:
+            reps = reps.localCheckpoint()
+        verified = band_candidates(reps).filter(
+            _hamming_col("fa", "fb") <= HAMMING_MAX
+        )
+        if materialize:
+            # verified feeds BOTH directions of the undirected edge
+            # union; checkpoint so the band join + verify runs once
+            verified = verified.localCheckpoint()
     # undirected neighbor edges between fingerprints, then the min
     # representative over each fingerprint's radius-neighborhood
     edges = verified.select(
@@ -196,7 +204,11 @@ def simhash_hamming_groups_df(
     )
 
 
-def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
+def simhash_cc_groups_df(
+    fp: DataFrame,
+    max_iters: int = 20,
+    graph: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Transitive-closure variant of simhash_hamming_groups_df:
     canonical_doc_id = min doc over the CONNECTED COMPONENT of the
     verified radius-<=3 fingerprint graph, so chains A-B-C with
@@ -216,32 +228,65 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
     DISTINCT-fingerprint graph, never per-doc."""
     materialize = not _is_cache_backed(fp)
     fp = fp.select("doc_id", "simhash64")
-    if materialize:
-        fp = fp.localCheckpoint()  # corpus-scan barrier (see hamming)
-    # reps and verified are ALWAYS materialized here (unlike the
-    # hamming path): the iteration loop reads rep_fp and the edge
-    # union every round — without barriers the distinct-fp aggregate
-    # and band join would re-run per round
-    reps = (
-        fp.groupBy("simhash64")
-        .agg(F.min("doc_id").alias("rep_doc"))
-        .localCheckpoint()
-    )
-    verified = (
-        band_candidates(reps)
-        .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
-        .localCheckpoint()
-    )
+    if graph is not None:
+        reps, verified = graph  # session-shared band graph (see hamming)
+    else:
+        if materialize:
+            fp = fp.localCheckpoint()  # corpus-scan barrier (see hamming)
+        # reps and verified are ALWAYS materialized here (unlike the
+        # hamming path): the iteration loop reads rep_fp and the edge
+        # union every round — without barriers the distinct-fp
+        # aggregate and band join would re-run per round
+        reps = (
+            fp.groupBy("simhash64")
+            .agg(F.min("doc_id").alias("rep_doc"))
+            .localCheckpoint()
+        )
+        verified = (
+            band_candidates(reps)
+            .filter(_hamming_col("fa", "fb") <= HAMMING_MAX)
+            .localCheckpoint()
+        )
     edges = verified.select(
         F.col("fa").alias("f"), F.col("fb").alias("g")
     ).unionByName(
         verified.select(F.col("fb").alias("f"), F.col("fa").alias("g"))
     )
-    # doc label -> the fingerprint it represents (for the doubling hop)
-    rep_fp = reps.select(
-        F.col("rep_doc").alias("mid_doc"), F.col("simhash64").alias("mid_fp")
+    # ---- ACTIVE-SET restriction -------------------------------------
+    # Only edge endpoints can ever change label (isolated fingerprints
+    # keep label = own rep_doc at every round), and near-dup edge
+    # endpoints are a small fraction of distinct fingerprints at any
+    # corpus scale. The iteration runs over |endpoints| vertices, not
+    # |distinct fp| — and the loop frames are repartitioned to the
+    # ACTIVE GRAPH's size (1 partition per ~1M endpoints), so per-round
+    # shuffle/task fanout tracks the graph, not the corpus.
+    active = edges.select(F.col("f").alias("simhash64")).distinct()
+    labels0 = (
+        reps.join(active, "simhash64")
+        .select("simhash64", F.col("rep_doc").alias("label"))
     )
-    labels = reps.select("simhash64", F.col("rep_doc").alias("label"))
+    spark = fp.sparkSession
+    n_active = active.count()
+    if n_active == 0:
+        # no verified near-dup edges: every doc is its own canonical
+        return fp.join(reps, "simhash64").select(
+            "doc_id", "simhash64", F.col("rep_doc").alias("canonical_doc_id")
+        )
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_active + 999_999) // 1_000_000,
+        ),
+    )
+    edges = edges.repartition(parts, "g").localCheckpoint()
+    labels = labels0.repartition(parts, "simhash64").localCheckpoint()
+    # doc label -> the fingerprint it represents (for the doubling
+    # hop): the min label in a component is always the rep_doc of an
+    # ACTIVE vertex of that component, so the active labels suffice
+    rep_fp = labels.select(
+        F.col("label").alias("mid_doc"), F.col("simhash64").alias("mid_fp")
+    )
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["g"] == labels["simhash64"])
@@ -257,8 +302,13 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("mid"),
             )
-            .localCheckpoint()  # read twice below (rows + indirection map)
         )
+        # stepped is deliberately NOT checkpointed: it is read twice
+        # below (rows + indirection map), but both reads recompute only
+        # one tiny edge-join over already-materialized inputs — cheaper
+        # than a second localCheckpoint JOB per round (each barrier is
+        # a full job; halving the per-round job count cut the sf0.1
+        # wall by ~1.5x)
         mid_lbl = stepped.select(
             F.col("simhash64").alias("ms"), F.col("mid").alias("mlabel")
         )
@@ -287,15 +337,46 @@ def simhash_cc_groups_df(fp: DataFrame, max_iters: int = 20) -> DataFrame:
             f"{max_iters} iterations ({changed} labels still changing); "
             f"raise max_iters (rounds needed = component diameter)"
         )
+    # inactive fingerprints keep their own rep_doc
+    labels = reps.join(labels, "simhash64", "left").select(
+        "simhash64", F.coalesce("label", "rep_doc").alias("label")
+    )
     return fp.join(labels, "simhash64").select(
         "doc_id", "simhash64", F.col("label").alias("canonical_doc_id")
     )
 
 
+def cached_simhash_graph(spark: SparkSession, sf_dir: str):
+    """Session-shared (reps, verified) band graph over the corpus
+    fingerprints — the LSH index build (distinct-fp aggregate + band
+    self-join + Hamming verify) is paid once per session and shared by
+    the hamming and CC variants, like the IVF centroid / LSH bucket
+    caches."""
+    from ..cached import shared_cached_df
+
+    fp = cached_doc_fingerprint(spark, sf_dir).select("doc_id", "simhash64")
+    reps = shared_cached_df(
+        spark,
+        f"simhash_reps:{sf_dir}",
+        lambda: fp.groupBy("simhash64").agg(F.min("doc_id").alias("rep_doc")),
+    )
+    verified = shared_cached_df(
+        spark,
+        f"simhash_verified:{sf_dir}",
+        lambda: band_candidates(reps).filter(
+            _hamming_col("fa", "fb") <= HAMMING_MAX
+        ),
+    )
+    return reps, verified
+
+
 def dedup_simhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, canonical_doc_id) — TRANSITIVE near-dup
     groups (connected components of the radius-3 fingerprint graph)."""
-    return simhash_cc_groups_df(cached_doc_fingerprint(spark, sf_dir))
+    return simhash_cc_groups_df(
+        cached_doc_fingerprint(spark, sf_dir),
+        graph=cached_simhash_graph(spark, sf_dir),
+    )
 
 
 def dedup_simhash_cc_oracle_sql() -> str:
@@ -341,7 +422,10 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64, canonical_doc_id) — canonical near-dup
     groups at Hamming radius 3, found exactly via 4x16-bit LSH bands
     over distinct fingerprints (see module docstring)."""
-    return simhash_hamming_groups_df(cached_doc_fingerprint(spark, sf_dir))
+    return simhash_hamming_groups_df(
+        cached_doc_fingerprint(spark, sf_dir),
+        graph=cached_simhash_graph(spark, sf_dir),
+    )
 
 
 def dedup_simhash_hamming_oracle_sql() -> str:
