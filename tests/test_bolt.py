@@ -1,0 +1,124 @@
+"""Bolt/PackStream wire-format reader (SURVEY.md §2.1 S1).
+
+The protocol layer is pinned against the public PackStream v2 spec:
+marker-exact encodings for every integer width, strings/lists/maps at
+tiny/8/16-bit sizes, Node/Relationship/Record structures, and Bolt
+chunked framing incl. multi-chunk messages. The distributed reader is
+checked for parity with the driver-side cypher-JSON loader on the
+reference's movies fixture."""
+
+import json
+import pathlib
+import struct
+
+import pytest
+
+from prec_spark.pg.bolt import (
+    Structure,
+    bolt_records_to_pg,
+    frame_message,
+    iter_messages,
+    ps_encode,
+    write_bolt_records,
+    _dec,
+)
+
+
+def roundtrip(v):
+    out, end = _dec(ps_encode(v), 0)
+    assert end == len(ps_encode(v))
+    return out
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        None, True, False,
+        0, -1, -16, 127, -17, -128, 128, 32767, -32768, 2**31 - 1,
+        -(2**31), 2**31, 2**63 - 1, -(2**63),
+        1.5, -0.0, 3.141592653589793,
+        "", "a", "x" * 15, "y" * 16, "z" * 300, "é∂ƒ unicode",
+        [], [1, "two", [3.0, None]], list(range(20)),
+        {}, {"k": 1}, {f"k{i}": i for i in range(20)},
+    ],
+)
+def test_packstream_value_roundtrip(value):
+    assert roundtrip(value) == value
+
+
+def test_packstream_marker_exactness():
+    # spec-pinned first bytes (PackStream v2)
+    assert ps_encode(None)[0] == 0xC0
+    assert ps_encode(True)[0] == 0xC3
+    assert ps_encode(7) == b"\x07"
+    assert ps_encode(-16) == b"\xf0"
+    assert ps_encode(-17)[0] == 0xC8
+    assert ps_encode(200)[0] == 0xC9  # >127 needs int16
+    assert ps_encode(2**31)[0] == 0xCB
+    assert ps_encode(1.0)[0] == 0xC1
+    assert ps_encode("abc")[0] == 0x80 + 3
+    assert ps_encode("x" * 16)[0] == 0xD0
+    assert ps_encode([1])[0] == 0x90 + 1
+    assert ps_encode({"a": 1})[0] == 0xA0 + 1
+
+
+def test_structure_roundtrip():
+    s = Structure(0x4E, [1, ["A"], {"k": "v"}])
+    out = roundtrip(s)
+    assert isinstance(out, Structure)
+    assert out.tag == 0x4E and out.fields == [1, ["A"], {"k": "v"}]
+
+
+def test_multi_chunk_framing():
+    payload = ps_encode("x" * 1000)
+    framed = frame_message(payload, max_chunk=64)
+    # many chunks, each with a u16 header, terminated by 0x0000
+    assert framed.endswith(b"\x00\x00")
+    (first_len,) = struct.unpack_from(">H", framed, 0)
+    assert first_len == 64
+    msgs = list(iter_messages(framed))
+    assert msgs == ["x" * 1000]
+
+
+def test_unterminated_message_raises():
+    payload = ps_encode([1, 2, 3])
+    framed = frame_message(payload)[:-2]  # strip terminator
+    with pytest.raises(ValueError):
+        list(iter_messages(framed))
+
+
+def test_bolt_reader_matches_cypher_loader(spark, tmp_path):
+    """Distributed decode of wire-framed movies records == the
+    driver-side cypher-JSON loader output (node/edge sets, labels,
+    term-encoded properties)."""
+    from prec_spark.pg.cypher import cypher_to_pg
+
+    rows = json.loads(
+        pathlib.Path("/root/reference/data/movies_cypher_all.json").read_text()
+    )
+    want_nodes, want_edges = cypher_to_pg(spark, rows)
+
+    triples = [(r["src"], r["edge"], r["dest"]) for r in rows]
+    # several files -> several decode tasks (the parallelism unit)
+    third = (len(triples) + 2) // 3
+    d = tmp_path / "bolt"
+    d.mkdir()
+    for i in range(3):
+        write_bolt_records(
+            str(d / f"part-{i}.bolt"), triples[i * third : (i + 1) * third]
+        )
+    nodes, edges = bolt_records_to_pg(spark, str(d))
+
+    def norm(df):
+        return sorted(
+            (
+                r["node_id"] if "node_id" in df.columns else r["edge_id"],
+                tuple(sorted(r.labels)) if "labels" in df.columns else
+                (r["src_id"], r["dst_id"], r["label"]),
+                tuple(sorted((k, tuple(v)) for k, v in r.properties.items())),
+            )
+            for r in df.collect()
+        )
+
+    assert norm(nodes) == norm(want_nodes)
+    assert norm(edges) == norm(want_edges)
