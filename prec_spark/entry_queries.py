@@ -268,6 +268,280 @@ FROM tm WHERE tool IS NOT NULL
 """
 
 
+_BOLT_DUMP_DIRS: dict[str, str] = {}
+
+
+def _bolt_dump_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize (once per process and testdata generation) a
+    wire-faithful Bolt RECORD dump of the transcript PG: the exact
+    framed PackStream bytes a Neo4j server streams for the reference's
+    ``match (src)-[edge]->(dest) return src, edge, dest``
+    (/root/reference/src/prec-0/from-cypher.js:8-49).
+
+    The synthesis plays the SERVER's role but is itself DISTRIBUTED:
+    records are assembled as DataFrame rows and PackStream-encoded per
+    partition via mapInPandas (one dump file per task), so there is no
+    driver collect and no driver-side encode loop.
+
+    Identities are ARITHMETIC int64s, mirrored exactly by the DuckDB
+    oracle with no rank/window on either side: with
+    K = int suffix of conv_id and turn_idx < 64 (the driver-generated
+    lineitem has duplicate sort keys, so orders carry up to ~17 lines
+    — NOT TPC-H's 7; the encode worker raises if 64 is ever reached),
+    node ids `turn(K,i) = (K*64+i)*4`, `conv(K) = K*4+1`,
+    `tool(t) = TOOLS.index(t)*4+2` and edge ids `in = (K*64+i)*3`,
+    `next = +1`, `uses = +2` are collision-free (disjoint residues
+    mod 4 / mod 3).
+    """
+    cached = _BOLT_DUMP_DIRS.get(sf_dir)
+    if cached is not None:
+        return cached
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    # key on the source parquet's identity (path + size + mtime), so a
+    # regenerated testdata dir can never silently reuse a stale dump
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = sf_dir
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_bolt_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.isfile(done):
+        _BOLT_DUMP_DIRS[sf_dir] = out_dir
+        return out_dir
+
+    from pyspark.sql import Window
+
+    from .transcripts import TOOLS
+
+    t = cached_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = (
+        t.select("conv_id", "turn_idx", "role", "text", "tool")
+        .withColumn("k", F.split("conv_id", "-").getItem(1).cast("long"))
+        .withColumn("nrole", F.lead("role").over(w))
+        .withColumn("ntext", F.lead("text").over(w))
+        .withColumn("ntool", F.lead("tool").over(w))
+    )
+
+    def turn_props(text_c, tool_c):
+        return F.when(
+            tool_c.isNotNull(),
+            F.create_map(F.lit("text"), text_c, F.lit("tool"), tool_c),
+        ).otherwise(F.create_map(F.lit("text"), text_c))
+
+    def tool_ni(tool_c):
+        idx = F.lit(None).cast("long")
+        for i, name in enumerate(TOOLS):
+            idx = F.when(tool_c == name, F.lit(i)).otherwise(idx)
+        return idx * 4 + 2
+
+    tni = (F.col("k") * 64 + F.col("turn_idx")) * 4
+    eib = (F.col("k") * 64 + F.col("turn_idx")) * 3
+    turn_src = [
+        F.col("turn_idx").alias("ti"),
+        tni.alias("src_ni"),
+        F.array(F.lit("Turn"), F.col("role")).alias("src_labels"),
+        turn_props(F.col("text"), F.col("tool")).alias("src_props"),
+    ]
+    in_edges = base.select(
+        eib.alias("ei"),
+        F.lit("IN").alias("typ"),
+        *turn_src,
+        (F.col("k") * 4 + 1).alias("dst_ni"),
+        F.array(F.lit("Conversation")).alias("dst_labels"),
+        F.create_map(F.lit("id"), F.col("conv_id")).alias("dst_props"),
+    )
+    next_edges = base.filter(F.col("nrole").isNotNull()).select(
+        (eib + 1).alias("ei"),
+        F.lit("NEXT").alias("typ"),
+        *turn_src,
+        ((F.col("k") * 64 + F.col("turn_idx") + 1) * 4).alias("dst_ni"),
+        F.array(F.lit("Turn"), F.col("nrole")).alias("dst_labels"),
+        turn_props(F.col("ntext"), F.col("ntool")).alias("dst_props"),
+    )
+    uses_edges = base.filter(F.col("tool").isNotNull()).select(
+        (eib + 2).alias("ei"),
+        F.lit("USES").alias("typ"),
+        *turn_src,
+        tool_ni(F.col("tool")).alias("dst_ni"),
+        F.array(F.lit("Tool")).alias("dst_labels"),
+        F.create_map(F.lit("name"), F.col("tool")).alias("dst_props"),
+    )
+    records = (
+        in_edges.unionByName(next_edges).unionByName(uses_edges).repartition(32)
+    )
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+
+    def _encode_partition(batches):
+        import os as _os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from prec_spark.pg.bolt import (
+            NODE_TAG,
+            RECORD_HEADER_3,
+            REL_TAG,
+            Structure,
+            frame_message,
+            ps_encode,
+        )
+
+        def as_dict(m):
+            return m if isinstance(m, dict) else dict(m)
+
+        buf = bytearray()
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.ti + 1 >= 64:
+                    raise ValueError(
+                        "turn_idx >= 63 breaks the Bolt identity packing"
+                        " (raise the *64 multiplier)"
+                    )
+                src_b = ps_encode(
+                    Structure(
+                        NODE_TAG,
+                        [int(row.src_ni), list(row.src_labels), as_dict(row.src_props)],
+                    )
+                )
+                dst_b = ps_encode(
+                    Structure(
+                        NODE_TAG,
+                        [int(row.dst_ni), list(row.dst_labels), as_dict(row.dst_props)],
+                    )
+                )
+                rel_b = ps_encode(
+                    Structure(
+                        REL_TAG,
+                        [int(row.ei), int(row.src_ni), int(row.dst_ni), row.typ, {}],
+                    )
+                )
+                buf += frame_message(RECORD_HEADER_3 + src_b + rel_b + dst_b)
+                n += 1
+        if n:
+            pid = TaskContext.get().partitionId()
+            with open(
+                _os.path.join(tmp_dir, f"part-{pid:05d}.bolt"), "wb"
+            ) as f:
+                f.write(bytes(buf))
+        yield pd.DataFrame({"n": [n]})
+
+    records.mapInPandas(_encode_partition, "n long").agg(
+        F.sum("n")
+    ).collect()
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w"):
+        pass
+    os.rename(tmp_dir, out_dir)
+    _BOLT_DUMP_DIRS[sf_dir] = out_dir
+    return out_dir
+
+
+def _bolt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 gate query: decode the framed Bolt RECORD dump DISTRIBUTED
+    (binaryFile -> Arrow-batch PackStream decode -> identity dedup) and
+    flatten nodes+edges into one hashable frame. The `text` property
+    value rides through real PackStream bytes and back out as its
+    canonical term, so the wire roundtrip is value-checked, not just
+    shape-checked."""
+    from .pg.bolt import bolt_records_to_pg
+
+    dump = _bolt_dump_dir(spark, sf_dir)
+    ndf, edf = bolt_records_to_pg(spark, dump)
+    # '' (not NULL) for inapplicable columns: the gate hash sorts rows
+    # as tuples, and mixed None/str tuples are unorderable
+    null_s = F.lit("")
+    n_flat = ndf.select(
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("ident"),
+        F.array_join("labels", "|").alias("labels_key"),
+        null_s.alias("label"),
+        null_s.alias("src_id"),
+        null_s.alias("dst_id"),
+        F.array_join(F.sort_array(F.map_keys("properties")), "|").alias(
+            "props_key"
+        ),
+        F.coalesce(
+            F.element_at(F.element_at("properties", "text"), 1), F.lit("")
+        ).alias("text_term"),
+    )
+    e_flat = edf.select(
+        F.lit("edge").alias("kind"),
+        F.col("edge_id").alias("ident"),
+        null_s.alias("labels_key"),
+        "label",
+        "src_id",
+        "dst_id",
+        F.array_join(F.sort_array(F.map_keys("properties")), "|").alias(
+            "props_key"
+        ),
+        null_s.alias("text_term"),
+    )
+    return n_flat.unionByName(e_flat)
+
+
+def _bolt_records_oracle() -> str:
+    from .transcripts import TOOLS
+
+    text = _nt_esc_sql("text")
+    tool_idx = (
+        "CASE tool "
+        + " ".join(f"WHEN '{name}' THEN {i}" for i, name in enumerate(TOOLS))
+        + " END"
+    )
+    tni = "(k*64 + turn_idx)*4"
+    eib = "(k*64 + turn_idx)*3"
+    return f"""
+{_t_cte()}, tm AS (
+  SELECT *, CAST(substr(conv_id, 6) AS BIGINT) AS k,
+         max(turn_idx) OVER (PARTITION BY conv_id) AS max_turn_idx
+  FROM t
+)
+SELECT 'node' AS kind, 'node:' || CAST({tni} AS VARCHAR) AS ident,
+       'Turn|' || role AS labels_key, '' AS label,
+       '' AS src_id, '' AS dst_id,
+       CASE WHEN tool IS NOT NULL THEN 'text|tool' ELSE 'text' END AS props_key,
+       '"' || {text} || '"' AS text_term
+FROM tm
+UNION ALL
+SELECT DISTINCT 'node', 'node:' || CAST(k*4 + 1 AS VARCHAR),
+       'Conversation', '', '', '', 'id', ''
+FROM tm
+UNION ALL
+SELECT DISTINCT 'node', 'node:' || CAST(({tool_idx})*4 + 2 AS VARCHAR),
+       'Tool', '', '', '', 'name', ''
+FROM tm WHERE tool IS NOT NULL
+UNION ALL
+SELECT 'edge', 'edge:' || CAST({eib} AS VARCHAR), '', 'IN',
+       'node:' || CAST({tni} AS VARCHAR), 'node:' || CAST(k*4 + 1 AS VARCHAR),
+       '', ''
+FROM tm
+UNION ALL
+SELECT 'edge', 'edge:' || CAST({eib} + 1 AS VARCHAR), '', 'NEXT',
+       'node:' || CAST({tni} AS VARCHAR),
+       'node:' || CAST((k*64 + turn_idx + 1)*4 AS VARCHAR), '', ''
+FROM tm WHERE turn_idx < max_turn_idx
+UNION ALL
+SELECT 'edge', 'edge:' || CAST({eib} + 2 AS VARCHAR), '', 'USES',
+       'node:' || CAST({tni} AS VARCHAR),
+       'node:' || CAST(({tool_idx})*4 + 2 AS VARCHAR), '', ''
+FROM tm WHERE tool IS NOT NULL
+"""
+
+
 def _prec0_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes/edges cached: the PREC-0 expansion reads the PG once per
     # quad family (19 narrow union branches; ~20 s warm from the raw
@@ -438,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prec0_triples": _prec0_triples,
         "cypher_create": _cypher_create,
         "gremlin_insert": _gremlin_insert,
+        "bolt_records": _bolt_records,
         "prsc_transcript_triples": flagship_triples,
         "named_graph_quads": named_graph_quads,
         "precc_triples": precc_transcript_triples,
@@ -478,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "prec0_triples": _prec0_oracle(),
         "cypher_create": _cypher_create_oracle(),
         "gremlin_insert": _gremlin_insert_oracle(),
+        "bolt_records": _bolt_records_oracle(),
         "prsc_transcript_triples": flagship_oracle_sql(),
         "named_graph_quads": named_graph_oracle_sql(),
         "precc_triples": precc_oracle_sql(),

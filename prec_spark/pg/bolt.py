@@ -43,6 +43,13 @@ NODE_TAG = 0x4E
 REL_TAG = 0x52
 RECORD_TAG = 0x71
 
+#: Pre-baked header of a RECORD whose single field is a 3-item list —
+#: 0xB1 (struct, 1 field), the RECORD tag, 0x93 (tiny list of 3). Lets
+#: callers splice pre-encoded Node/Relationship bytes into records
+#: without re-walking the value tree (fixture writers cache each node's
+#: encoding once across its incident edges).
+RECORD_HEADER_3 = bytes((0xB1, RECORD_TAG, 0x93))
+
 
 @dataclass
 class Structure:
@@ -255,9 +262,15 @@ _FLAT_SCHEMA = (
 
 def _decode_partition(batches):
     """mapInPandas worker: decode each file's framed RECORD stream into
-    flat node/edge rows with term-encoded properties."""
+    flat node/edge rows with term-encoded properties.
+
+    Nodes repeat once per incident record on the wire, so the worker
+    dedups them by identity WITHIN the partition (map-side combine) —
+    the global dropDuplicates shuffle then moves only each partition's
+    distinct nodes, not one row per record endpoint."""
     import pandas as pd
 
+    seen_nodes: set = set()
     for pdf in batches:
         out = {
             "kind": [], "identity": [], "labels": [],
@@ -282,6 +295,9 @@ def _decode_partition(batches):
                         continue
                     if value.tag == NODE_TAG:
                         ident, labels, props = value.fields[:3]
+                        if ident in seen_nodes:
+                            continue
+                        seen_nodes.add(ident)
                         emit("node", ident, sorted(labels), None, None, None, props)
                     elif value.tag == REL_TAG:
                         ident, start, end, rtype, props = value.fields[:5]

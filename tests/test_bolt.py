@@ -122,3 +122,46 @@ def test_bolt_reader_matches_cypher_loader(spark, tmp_path):
 
     assert norm(nodes) == norm(want_nodes)
     assert norm(edges) == norm(want_edges)
+
+
+def test_packed_writer_bytes_identical(tmp_path):
+    """The fixture fast path (cached node bytes spliced after
+    RECORD_HEADER_3) must produce byte-identical output to the
+    structure-walking write_bolt_records."""
+    from prec_spark.pg.bolt import (
+        NODE_TAG,
+        RECORD_HEADER_3,
+        REL_TAG,
+        Structure,
+        frame_message,
+        ps_encode,
+    )
+
+    nodes = {
+        "a": {"identity": 0, "labels": ["L1", "L2"], "properties": {"p": "x", "n": 7}},
+        "b": {"identity": 1, "labels": ["L3"], "properties": {"long": "y" * 300}},
+    }
+    edges = [
+        {"identity": 0, "start": 0, "end": 1, "type": "REL", "properties": {}},
+        {"identity": 1, "start": 1, "end": 0, "type": "OTHER", "properties": {}},
+    ]
+    slow = tmp_path / "slow.bolt"
+    write_bolt_records(
+        str(slow),
+        [(nodes["a"], edges[0], nodes["b"]), (nodes["b"], edges[1], nodes["a"])],
+    )
+
+    node_bytes = {
+        k: ps_encode(Structure(NODE_TAG, [n["identity"], n["labels"], n["properties"]]))
+        for k, n in nodes.items()
+    }
+    fast = bytearray()
+    for src, e, dst in [("a", edges[0], "b"), ("b", edges[1], "a")]:
+        rel = ps_encode(
+            Structure(
+                REL_TAG,
+                [e["identity"], e["start"], e["end"], e["type"], e["properties"]],
+            )
+        )
+        fast += frame_message(RECORD_HEADER_3 + node_bytes[src] + rel + node_bytes[dst])
+    assert bytes(fast) == slow.read_bytes()
