@@ -376,8 +376,15 @@ def _bolt_dump_dir(spark: SparkSession, sf_dir: str) -> str:
         F.array(F.lit("Tool")).alias("dst_labels"),
         F.create_map(F.lit("name"), F.col("tool")).alias("dst_props"),
     )
+    # hash-partition by conversation: a real server streams records in
+    # match order, so a node's incident records are adjacent on the
+    # wire — co-locating each conversation's records per dump file
+    # reproduces that locality, which the reader's map-side identity
+    # skip exploits (repeated endpoints are byte-walked, not decoded)
     records = (
-        in_edges.unionByName(next_edges).unionByName(uses_edges).repartition(32)
+        in_edges.unionByName(next_edges).unionByName(uses_edges)
+        # src_ni = k*256 + turn_idx*4, so this keys on the conversation
+        .repartition(32, F.floor(F.col("src_ni") / 256))
     )
 
     tmp_dir = out_dir + ".tmp"

@@ -201,6 +201,66 @@ def _dec_size(buf: bytes, pos: int, m: int, tiny: int, markers: tuple):
     return struct.unpack_from(">I", buf, pos)[0], pos + 4
 
 
+def _skip(buf: bytes, pos: int) -> int:
+    """Advance past one PackStream value WITHOUT materializing it.
+
+    The decode hot path calls this for values it will discard — the
+    labels/properties of a node whose identity was already seen in this
+    partition (nodes repeat once per incident record on the wire) — so
+    repeated endpoints cost a byte-walk, not UTF-8 decodes and dict
+    builds."""
+    m = buf[pos]
+    pos += 1
+    if m <= 0x7F or m >= 0xF0 or m in (0xC0, 0xC2, 0xC3):
+        return pos
+    if m == 0xC8:
+        return pos + 1
+    if m == 0xC9:
+        return pos + 2
+    if m == 0xCA:
+        return pos + 4
+    if m == 0xCB or m == 0xC1:
+        return pos + 8
+    if 0x80 <= m <= 0x8F:
+        return pos + (m - 0x80)
+    if m == 0xD0:
+        return pos + 1 + buf[pos]
+    if m == 0xD1:
+        return pos + 2 + struct.unpack_from(">H", buf, pos)[0]
+    if m == 0xD2:
+        return pos + 4 + struct.unpack_from(">I", buf, pos)[0]
+    if 0x90 <= m <= 0x9F:
+        n = m - 0x90
+    elif m == 0xD4:
+        n = buf[pos]
+        pos += 1
+    elif m == 0xD5:
+        n = struct.unpack_from(">H", buf, pos)[0]
+        pos += 2
+    elif m == 0xD6:
+        n = struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+    elif 0xA0 <= m <= 0xAF:
+        n = 2 * (m - 0xA0)
+    elif m == 0xD8:
+        n = 2 * buf[pos]
+        pos += 1
+    elif m == 0xD9:
+        n = 2 * struct.unpack_from(">H", buf, pos)[0]
+        pos += 2
+    elif m == 0xDA:
+        n = 2 * struct.unpack_from(">I", buf, pos)[0]
+        pos += 4
+    elif 0xB0 <= m <= 0xBF:
+        n = m - 0xB0
+        pos += 1  # tag byte
+    else:
+        raise ValueError(f"unknown PackStream marker 0x{m:02X} at {pos - 1}")
+    for _ in range(n):
+        pos = _skip(buf, pos)
+    return pos
+
+
 def iter_messages(data: bytes) -> Iterator:
     """De-chunk a Bolt stream and decode each message."""
     pos = 0
@@ -260,17 +320,113 @@ _FLAT_SCHEMA = (
 )
 
 
+def _consume_value(buf, pos, seen_nodes, seen_edges, emit):
+    """Decode one value of a RECORD's field list directly from the wire
+    bytes. Node/Relationship structures whose identity was already seen
+    in this partition are SKIPPED by a byte-walk (no string decode, no
+    dict build); anything that is not a graph element is skipped too
+    (the reference only consumes src/edge/dest, from-cypher.js:31-47)."""
+    m = buf[pos]
+    if 0xB0 <= m <= 0xBF:
+        nf = m - 0xB0
+        tag = buf[pos + 1]
+        p = pos + 2
+        if tag == NODE_TAG and nf >= 3:
+            ident, p = _dec(buf, p)
+            if ident in seen_nodes:
+                for _ in range(nf - 1):
+                    p = _skip(buf, p)
+            else:
+                seen_nodes.add(ident)
+                labels, p = _dec(buf, p)
+                props, p = _dec(buf, p)
+                for _ in range(nf - 3):
+                    p = _skip(buf, p)  # v5 element_id etc.
+                emit("node", ident, sorted(labels), None, None, None, props)
+            return p
+        if tag == REL_TAG and nf >= 5:
+            ident, p = _dec(buf, p)
+            if ident in seen_edges:
+                for _ in range(nf - 1):
+                    p = _skip(buf, p)
+            else:
+                seen_edges.add(ident)
+                start, p = _dec(buf, p)
+                end, p = _dec(buf, p)
+                rtype, p = _dec(buf, p)
+                props, p = _dec(buf, p)
+                for _ in range(nf - 5):
+                    p = _skip(buf, p)
+                emit("edge", ident, None, start, end, rtype, props)
+            return p
+    return _skip(buf, pos)
+
+
+def _handle_message(buf, pos, end, seen_nodes, seen_edges, emit):
+    """Decode one de-chunked Bolt message in place (no payload copy).
+
+    Fast path: the standard RECORD-of-a-list header (0xB1 0x71 + list
+    marker) is recognized byte-wise and its items stream through
+    ``_consume_value`` — no Structure/list allocation for the envelope.
+    Anything else (SUCCESS metadata, unusual record shapes) falls back
+    to the generic decoder."""
+    m = buf[pos]
+    if m == 0xB1 and buf[pos + 1] == RECORD_TAG:
+        lm = buf[pos + 2]
+        p = pos + 3
+        cnt = -1
+        if 0x90 <= lm <= 0x9F:
+            cnt = lm - 0x90
+        elif lm == 0xD4:
+            cnt = buf[p]
+            p += 1
+        elif lm == 0xD5:
+            cnt = struct.unpack_from(">H", buf, p)[0]
+            p += 2
+        elif lm == 0xD6:
+            cnt = struct.unpack_from(">I", buf, p)[0]
+            p += 4
+        if cnt >= 0:
+            for _ in range(cnt):
+                p = _consume_value(buf, p, seen_nodes, seen_edges, emit)
+            if p != end:
+                raise ValueError(f"trailing bytes in Bolt message: {end - p}")
+            return
+    value, p = _dec(buf, pos)
+    if p != end:
+        raise ValueError(f"trailing bytes in Bolt message: {end - p}")
+    if isinstance(value, Structure) and value.tag == RECORD_TAG:
+        for v in value.fields[0]:
+            if not isinstance(v, Structure):
+                continue
+            if v.tag == NODE_TAG:
+                ident, labels, props = v.fields[:3]
+                if ident not in seen_nodes:
+                    seen_nodes.add(ident)
+                    emit("node", ident, sorted(labels), None, None, None, props)
+            elif v.tag == REL_TAG:
+                ident, start, end_, rtype, props = v.fields[:5]
+                if ident not in seen_edges:
+                    seen_edges.add(ident)
+                    emit("edge", ident, None, start, end_, rtype, props)
+
+
 def _decode_partition(batches):
     """mapInPandas worker: decode each file's framed RECORD stream into
     flat node/edge rows with term-encoded properties.
 
-    Nodes repeat once per incident record on the wire, so the worker
-    dedups them by identity WITHIN the partition (map-side combine) —
-    the global dropDuplicates shuffle then moves only each partition's
-    distinct nodes, not one row per record endpoint."""
+    Elements repeat on the wire (a node once per incident record), so
+    the worker dedups nodes AND edges by identity WITHIN the partition
+    (map-side combine): the global dropDuplicates shuffle then moves
+    only each partition's distinct elements, and repeated endpoints are
+    byte-skipped without ever being decoded. Single-chunk messages —
+    the overwhelmingly common case — are decoded IN PLACE from the
+    file's byte buffer; only messages that actually span chunks are
+    reassembled."""
     import pandas as pd
 
     seen_nodes: set = set()
+    seen_edges: set = set()
     for pdf in batches:
         out = {
             "kind": [], "identity": [], "labels": [],
@@ -287,21 +443,37 @@ def _decode_partition(batches):
             out["properties"].append(_encode_props(props))
 
         for content in pdf["content"]:
-            for msg in iter_messages(bytes(content)):
-                if not (isinstance(msg, Structure) and msg.tag == RECORD_TAG):
-                    continue  # ignore non-RECORD messages (SUCCESS etc.)
-                for value in msg.fields[0]:
-                    if not isinstance(value, Structure):
-                        continue
-                    if value.tag == NODE_TAG:
-                        ident, labels, props = value.fields[:3]
-                        if ident in seen_nodes:
-                            continue
-                        seen_nodes.add(ident)
-                        emit("node", ident, sorted(labels), None, None, None, props)
-                    elif value.tag == REL_TAG:
-                        ident, start, end, rtype, props = value.fields[:5]
-                        emit("edge", ident, None, start, end, rtype, props)
+            data = bytes(content)
+            ln = len(data)
+            pos = 0
+            payload = None
+            while pos + 2 <= ln:
+                n = (data[pos] << 8) | data[pos + 1]
+                pos += 2
+                if n == 0:
+                    if payload is not None:
+                        b = bytes(payload)
+                        _handle_message(b, 0, len(b), seen_nodes, seen_edges, emit)
+                        payload = None
+                    continue
+                if (
+                    payload is None
+                    and pos + n + 2 <= ln
+                    and data[pos + n] == 0
+                    and data[pos + n + 1] == 0
+                ):
+                    # complete single-chunk message: decode in place
+                    _handle_message(
+                        data, pos, pos + n, seen_nodes, seen_edges, emit
+                    )
+                    pos += n + 2
+                    continue
+                if payload is None:
+                    payload = bytearray()
+                payload += data[pos : pos + n]
+                pos += n
+            if payload:
+                raise ValueError("unterminated Bolt message (missing 0x0000)")
         if out["kind"]:
             yield pd.DataFrame(out)
 

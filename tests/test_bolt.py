@@ -124,6 +124,52 @@ def test_bolt_reader_matches_cypher_loader(spark, tmp_path):
     assert norm(edges) == norm(want_edges)
 
 
+@pytest.mark.parametrize(
+    "value",
+    [
+        None, True, 0, -17, 200, 2**31, 1.5, "", "a", "z" * 300,
+        [1, "two", [3.0, None]], {"k": 1, "m": {"n": [2]}},
+        Structure(0x4E, [1, ["A", "B"], {"k": "v" * 20}]),
+    ],
+)
+def test_skip_advances_exactly_one_value(value):
+    """_skip (the repeated-endpoint byte-walk) must land on exactly the
+    same offset the full decoder would, for every marker family."""
+    from prec_spark.pg.bolt import _skip
+
+    enc = ps_encode(value)
+    assert _skip(enc + b"\xc0trailing", 0) == len(enc)
+
+
+def test_multichunk_record_roundtrips_through_reader(spark, tmp_path):
+    """A property too large for one 65535-byte Bolt chunk forces the
+    reassembly path; the reader must still recover the exact value."""
+    big = "v" * 70000
+    src = {"identity": 1, "labels": ["A"], "properties": {"big": big}}
+    dst = {"identity": 2, "labels": ["B"], "properties": {}}
+    e = {"identity": 5, "start": 1, "end": 2, "type": "R", "properties": {}}
+    p = tmp_path / "big.bolt"
+    write_bolt_records(str(p), [(src, e, dst)])
+    nodes, edges = bolt_records_to_pg(spark, str(p))
+    got = {r["node_id"]: r["properties"] for r in nodes.collect()}
+    assert got["node:1"]["big"][0] == f'"{big}"'
+    assert edges.count() == 1
+
+
+def test_repeated_elements_dedup_map_side(spark, tmp_path):
+    """The same (src, edge, dest) record streamed twice — as a server
+    re-matching the pattern would — must still yield one row per
+    element identity."""
+    a = {"identity": 1, "labels": ["A"], "properties": {"p": "x"}}
+    b = {"identity": 2, "labels": ["B"], "properties": {}}
+    e = {"identity": 9, "start": 1, "end": 2, "type": "R", "properties": {}}
+    p = tmp_path / "dup.bolt"
+    write_bolt_records(str(p), [(a, e, b), (a, e, b), (b, e, a)])
+    nodes, edges = bolt_records_to_pg(spark, str(p))
+    assert nodes.count() == 2
+    assert edges.count() == 1
+
+
 def test_packed_writer_bytes_identical(tmp_path):
     """The fixture fast path (cached node bytes spliced after
     RECORD_HEADER_3) must produce byte-identical output to the
