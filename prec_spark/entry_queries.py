@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cached import cached_transcripts
+from .cached import cached_transcripts, shared_cached_df
 from .flagship import flagship_oracle_sql, flagship_triples
 from .pg.export import cypher_create_statements, gremlin_insert_statements
 from .pg.projection import pg_edges, pg_nodes
@@ -67,10 +67,21 @@ from .ann import (
     ann_lsh_oracle_sql,
 )
 from .multimodal import binary_features, binary_features_oracle_sql
-from .multimodal.media import media_features, media_features_oracle_sql
+from .multimodal.media import (
+    media_features,
+    media_features_oracle_sql,
+    media_resize_oracle_sql,
+    media_resized_features,
+)
 from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
+from .plans.pagerank import (
+    pagerank_graph,
+    pagerank_iterate,
+    pagerank_oracle_sql,
+    resource_edges,
+)
 from .precc_flagship import (
     prec0_roundtrip,
     prec0_roundtrip_oracle_sql,
@@ -700,6 +711,22 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the full KG resource graph (see
+    plans/pagerank.py): ranks every IRI/bnode by the 3-iteration
+    fixed-point recurrence, hash-comparable because the arithmetic is
+    exact and order-free. The resource-edge list (the frame all three
+    iterations re-read) is session-cached alongside the other shared
+    inputs, so only the first call pays the KG materialization."""
+    edges = shared_cached_df(
+        spark,
+        f"kg_pr_edges:{sf_dir}",
+        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+    )
+    ed, nodes = pagerank_graph(edges)
+    return pagerank_iterate(ed, nodes)
+
+
 def _kg_triples_oracle() -> str:
     return f"""
 SELECT DISTINCT s, p, o FROM (
@@ -731,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_entities": canonical_entities,
         "entity_triples": entity_triples,
         "kg_triples": _kg_triples,
+        "kg_pagerank": _kg_pagerank,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -747,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "multimodal_features": binary_features,
         "media_decode": media_features,
+        "media_resize": media_resized_features,
         "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
     }
@@ -772,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_entities": canonical_entities_oracle_sql(),
         "entity_triples": entity_triples_oracle_sql(),
         "kg_triples": _kg_triples_oracle(),
+        "kg_pagerank": pagerank_oracle_sql(_kg_triples_oracle()),
         "text_stats": text_stats_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(),
@@ -788,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ann_lsh_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
+        "media_resize": media_resize_oracle_sql(),
         "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
     }

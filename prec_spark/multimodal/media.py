@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import load_table
 from .codecs import (
@@ -73,9 +74,18 @@ def synth_payload(doc_id: int) -> bytes:
     return encode_bmp(w, h, _rgb(doc_id, w, h))
 
 
-def media_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, payload) — real PNG/BMP/WAV bytes per document."""
+def media_documents(
+    spark: SparkSession, sf_dir: str, only_images: bool = False
+) -> DataFrame:
+    """(doc_id, payload) — real PNG/BMP/WAV bytes per document.
+
+    ``only_images`` prunes the audio rows at the SCAN (doc_id % 3 != 0)
+    rather than after the synth/decode UDF — a filter placed after
+    mapInPandas cannot be pushed through the opaque Python stage, so
+    image-only consumers (resize) must prune here."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if only_images:
+        d = d.filter(F.col("doc_id") % 3 != 0)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,6 +137,97 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return media.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+#: fixed thumbnail geometry for the resize operator — a model-input
+#: normalization step (every image, whatever its source size, becomes
+#: the same tensor shape)
+RESIZE_TH, RESIZE_TW = 8, 8
+
+MEDIA_RESIZE_SCHEMA = (
+    "doc_id BIGINT, kind STRING, out_h INT, out_w INT, "
+    "r_sum BIGINT, g_sum BIGINT, b_sum BIGINT"
+)
+
+
+def resize_nn(img: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an (h, w, c) array to (th, tw, c) —
+    target pixel (ty, tx) reads source (ty*h//th, tx*w//tw), the
+    floor-mapping convention mirrored exactly by the SQL oracle. Pure
+    integer index arithmetic + one fancy-index per axis: vectorized for
+    any image size, and works for both up- and down-sampling."""
+    h, w = img.shape[:2]
+    iy = (np.arange(th) * h) // th
+    ix = (np.arange(tw) * w) // tw
+    return img[iy][:, ix]
+
+
+def media_resized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every image payload, nearest-neighbor-resize it to the
+    fixed RESIZE_TH x RESIZE_TW thumbnail, and emit per-channel sums of
+    the RESIZED pixels. The audio rows are pruned at the documents scan
+    (see media_documents), so no WAV bytes are ever synthesized or
+    shipped for this operator.
+
+    The oracle predicts the channel sums by evaluating the generator
+    formulas at the nearest-neighbor source coordinates over a
+    generate_series grid — so the gate checks decode AND the resize
+    index mapping value-exactly, without the oracle seeing any bytes."""
+    media = media_documents(spark, sf_dir, only_images=True)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "kind": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                kind = sniff_kind(data)
+                if kind == "image/png":
+                    w, h, _c, pixels = decode_png(data)
+                else:
+                    w, h, _c, pixels = decode_bmp(data)
+                img = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+                small = resize_nn(img, RESIZE_TH, RESIZE_TW)
+                sums = small.sum(axis=(0, 1), dtype=np.int64)
+                out["doc_id"].append(int(did))
+                out["kind"].append(kind)
+                out["r_sum"].append(int(sums[0]))
+                out["g_sum"].append(int(sums[1]))
+                out["b_sum"].append(int(sums[2]))
+            if out["doc_id"]:
+                res = pd.DataFrame(out)
+                res.insert(2, "out_h", np.int32(RESIZE_TH))
+                res.insert(3, "out_w", np.int32(RESIZE_TW))
+                yield res
+
+    return media.mapInPandas(resize, MEDIA_RESIZE_SCHEMA)
+
+
+def media_resize_oracle_sql() -> str:
+    """Closed-form per-channel sums of the 8x8 NN thumbnail."""
+    return f"""
+WITH img AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN 4 + doc_id % 13 ELSE 2 + doc_id % 5 END AS w,
+         CASE WHEN doc_id % 3 = 1 THEN 3 + doc_id % 11 ELSE 2 + doc_id % 4 END AS h,
+         CASE WHEN doc_id % 3 = 1 THEN 'image/png' ELSE 'image/bmp' END AS kind
+  FROM documents WHERE doc_id % 3 <> 0
+),
+gx AS (SELECT *, unnest(range(0, {RESIZE_TW})) AS tx FROM img),
+grid AS (SELECT *, unnest(range(0, {RESIZE_TH})) AS ty FROM gx),
+src AS (
+  SELECT doc_id, kind, (ty*h)//{RESIZE_TH} AS sy, (tx*w)//{RESIZE_TW} AS sx
+  FROM grid
+)
+SELECT doc_id, kind,
+       CAST({RESIZE_TH} AS INT) AS out_h, CAST({RESIZE_TW} AS INT) AS out_w,
+       CAST(sum((doc_id + sx + 2*sy) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((2*doc_id + 3*sx + sy) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((3*doc_id + 5*sx + 7*sy) % 256) AS BIGINT) AS b_sum
+FROM src GROUP BY doc_id, kind
+"""
 
 
 def media_features_oracle_sql() -> str:

@@ -238,3 +238,30 @@ def test_video_features_match_closed_form():
 
         assert f["pixel_sum"] == px_sum(lambda fr: True)
         assert f["sampled_sum"] == px_sum(lambda fr: fr % 2 == 0)
+
+
+def test_resize_nn_matches_loop_reference():
+    """Vectorized NN resize == the per-pixel floor-mapping definition,
+    up- and down-sampling, on asymmetric sizes."""
+    import numpy as np
+
+    from prec_spark.multimodal.media import resize_nn
+
+    rng = np.random.default_rng(7)
+    for (h, w), (th, tw) in [((3, 16), (8, 8)), ((2, 2), (8, 8)),
+                             ((13, 5), (4, 6)), ((8, 8), (8, 8))]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = resize_nn(img, th, tw)
+        assert got.shape == (th, tw, 3)
+        for ty in range(th):
+            for tx in range(tw):
+                assert (got[ty, tx] == img[ty * h // th, tx * w // tw]).all()
+
+
+def test_resize_identity_when_same_size():
+    import numpy as np
+
+    from prec_spark.multimodal.media import resize_nn
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert (resize_nn(img, 8, 8) == img).all()
