@@ -1,0 +1,320 @@
+"""Product-quantized ANN (ADC) — the memory-compression scale path.
+
+IVF prunes CANDIDATES; product quantization compresses the VECTORS:
+each embedding is split into M_SUB contiguous subvectors and every
+subvector is replaced by the id of its nearest codeword in a
+per-subspace codebook of K_PQ entries (trained with the same
+deterministic, sample-bounded k-means as the IVF coarse quantizer,
+ann/search.py:train_kmeans). A dim-64 float64 vector (512 B) becomes
+M_SUB = 4 uint8 codes (4 B) — the representation that lets a
+10^9-vector corpus sit in executor memory. Queries score candidates by
+Asymmetric Distance Computation: the query precomputes one K_PQ-entry
+dot-product table per subspace, and each candidate's approximate
+cosine is M_SUB table lookups — no per-pair float vector math at all.
+
+Cross-engine exactness (the whole result is hash-gated):
+* codebooks: train_kmeans means rounded to 6 dp, mirrored by the
+  oracle's unrolled Lloyd CTEs per subspace;
+* every dot product is a SEQUENTIAL left fold — Spark explicit
+  ``((v1*c1 + v2*c2) + ...)`` chains, DuckDB ``list_inner_product`` —
+  which agree bit-for-bit;
+* the ADC sum over subspaces is the fixed association
+  ``((l0 + l1) + l2) + l3`` spelled out identically on both sides;
+* code assignment ties break by code id (array_min over (d2, k)
+  structs == ``row_number() ORDER BY d2, k``).
+
+Approximation quality is a property of the data (like IVF's recall —
+see ann/search.py's recall caveat); the oracle gates the
+implementation, and tests/test_ann_pq.py pins the ADC arithmetic
+against an independent driver-side reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import cached_vectors
+from .search import QUERY_MOD, SAMPLE_PER_CELL, _topk, train_kmeans
+
+M_SUB = 4
+K_PQ = 16
+
+#: collected codebooks per (applicationId, cache key):
+#: codebooks[s][k] = list of subdim floats
+_PQ_CODEBOOKS: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def _seq_dot(vals: list[float], col: Column, off: int) -> Column:
+    """Explicit left-fold dot of vals with col[off+1 .. off+len] —
+    the same association order as DuckDB's list_inner_product."""
+    expr = F.element_at(col, off + 1) * F.lit(vals[0])
+    for i in range(1, len(vals)):
+        expr = expr + F.element_at(col, off + i + 1) * F.lit(vals[i])
+    return expr
+
+
+def _c2(vals: list[float]) -> float:
+    """Sequential-fold squared norm (matches list_inner_product(c, c))."""
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return acc
+
+
+def pq_codebooks(
+    spark: SparkSession, vecs: DataFrame, dim: int, cache_key: str | None = None
+) -> list[list[list[float]]]:
+    """Train (or fetch) the M_SUB per-subspace codebooks. K_PQ x subdim
+    rounded doubles per subspace — bounded driver metadata, like the
+    IVF centroids."""
+    if cache_key is not None:
+        app = spark.sparkContext.applicationId
+        got = _PQ_CODEBOOKS.get((app, cache_key))
+        if got is not None:
+            return got
+    assert dim % M_SUB == 0, f"dim {dim} not divisible by M_SUB={M_SUB}"
+    subdim = dim // M_SUB
+    books = []
+    for s in range(M_SUB):
+        sub = vecs.select(
+            "vec_id", F.slice("v", s * subdim + 1, subdim).alias("v")
+        )
+        rows = sorted(train_kmeans(spark, sub, K_PQ).collect(), key=lambda r: r.k)
+        books.append([list(r.cent) for r in rows])
+    if cache_key is not None:
+        if any(a != spark.sparkContext.applicationId for (a, _) in _PQ_CODEBOOKS):
+            _PQ_CODEBOOKS.clear()
+        _PQ_CODEBOOKS[(spark.sparkContext.applicationId, cache_key)] = books
+    return books
+
+
+def pq_encode(
+    vecs: DataFrame, books: list[list[list[float]]], dim: int
+) -> DataFrame:
+    """(vec_id, c0..c{M-1}, n2): per-subspace nearest-codeword ids and
+    the reconstruction's squared norm (sum of codeword squared norms).
+    This is the PQ index — M_SUB small ints per vector."""
+    subdim = dim // M_SUB
+    code_cols = []
+    for s, book in enumerate(books):
+        cands = [
+            F.struct(
+                (F.lit(_c2(cent)) - F.lit(2.0) * _seq_dot(cent, F.col("v"), s * subdim))
+                .alias("d2"),
+                F.lit(k).alias("k"),
+            )
+            for k, cent in enumerate(book)
+        ]
+        code_cols.append(F.array_min(F.array(*cands))["k"].alias(f"c{s}"))
+    coded = vecs.select("vec_id", *code_cols)
+    n2 = None
+    for s, book in enumerate(books):
+        term = F.element_at(
+            F.array(*[F.lit(_c2(cent)) for cent in book]), F.col(f"c{s}") + 1
+        )
+        n2 = term if n2 is None else n2 + term
+    return coded.withColumn("n2", n2)
+
+
+def ann_pq(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — top-5 by ADC-approximated
+    cosine over the PQ codes, self excluded.
+
+    The corpus side of the scoring join carries ONLY (vec_id, codes,
+    n2); each query row carries its M_SUB lookup tables (K_PQ doubles
+    each) built once from the codebooks. At 10^9 vectors the scored
+    frame is the code table — bytes per row, not the vectors — and the
+    per-pair work is M_SUB element_at lookups; compose with the IVF
+    cell filter for candidate pruning on top."""
+    if vectors is not None:
+        vecs = vectors.select("vec_id", "v", "nrm")
+        head = vecs.select(F.size("v").alias("n")).head()
+        dim = head["n"] if head else 0
+        books = pq_codebooks(spark, vecs, dim)
+        codes = pq_encode(vecs, books, dim)
+    else:
+        from ..cached import shared_cached_df
+
+        vecs = cached_vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+        head = vecs.select(F.size("v").alias("n")).head()
+        dim = head["n"] if head else 0
+        books = pq_codebooks(spark, vecs, dim, cache_key=sf_dir)
+        # the PQ index: built once per session, like the LSH buckets
+        codes = shared_cached_df(
+            spark, f"pq_codes:{sf_dir}", lambda: pq_encode(vecs, books, dim)
+        )
+    subdim = dim // M_SUB
+
+    def build_qdf() -> DataFrame:
+        q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        # per-query ADC tables: t{s}[k+1] = <q_s, book[s][k]>
+        tabs = [
+            F.array(
+                *[_seq_dot(cent, F.col("qv"), s * subdim) for cent in book]
+            ).alias(f"t{s}")
+            for s, book in enumerate(books)
+        ]
+        return q.select("query_id", "qnrm", *tabs)
+
+    if vectors is not None:
+        qdf = build_qdf()
+    else:
+        # the M_SUB * K_PQ * subdim dot expressions dominate PLANNING,
+        # not execution (the frame is QUERY_MOD-small) — cache the
+        # materialized tables so repeat searches skip that codegen
+        from ..cached import shared_cached_df
+
+        qdf = shared_cached_df(spark, f"pq_qtabs:{sf_dir}", build_qdf)
+
+    adc = None
+    for s in range(M_SUB):
+        term = F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc / (F.sqrt("n2") * F.col("qnrm")), 4).alias("cosine"),
+        )
+    )
+    return _topk(scored)
+
+
+# ------------------------------------------------------------------ oracle
+
+def _sub_slice(col: str, s: int) -> str:
+    """SQL slice of subspace s (row-wise subdim = len//M_SUB)."""
+    return (
+        f"list_slice({col}, {s}*(len({col})//{M_SUB}) + 1, "
+        f"({s}+1)*(len({col})//{M_SUB}))"
+    )
+
+
+def _sql_pq_train(s: int) -> str:
+    """Seed + unrolled Lloyd CTEs for subspace ``s`` (mirror of
+    train_kmeans over the sliced sample); final centroids land in
+    s{s}f."""
+    from .search import KMEANS_ITERS
+
+    p = f"s{s}"
+    ctes = [
+        f"""{p}tr AS (
+  SELECT vec_id, {_sub_slice('emb', s)} AS emb FROM tr
+)""",
+        f"""{p}c0 AS (
+  SELECT k, cent FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+           {_sub_slice('emb', s)} AS cent
+    FROM v) WHERE k < {K_PQ}
+)"""
+    ]
+    prev = f"{p}c0"
+    for i in range(KMEANS_ITERS):
+        a = f"{p}a{i}"
+        ctes.append(
+            f"""{a} AS (
+  SELECT vec_id, emb, k AS cell FROM (
+    SELECT t.vec_id, t.emb, c.k,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY list_inner_product(c.cent, c.cent)
+                      - 2 * list_inner_product(t.emb, c.cent), c.k) AS rn
+    FROM {p}tr t CROSS JOIN {prev} c) WHERE rn = 1
+), {a}m AS (
+  SELECT cell AS k, dim, round(avg(emb[dim]), 6) AS m
+  FROM {a} CROSS JOIN sdims
+  GROUP BY cell, dim
+), {a}c AS (
+  SELECT pc.k, coalesce(n.cent, pc.cent) AS cent
+  FROM {prev} pc LEFT JOIN (
+    SELECT k, array_agg(m ORDER BY dim) AS cent FROM {a}m GROUP BY k
+  ) n USING (k)
+)"""
+        )
+        prev = f"{a}c"
+    ctes.append(f"{p}f AS (SELECT k, cent FROM {prev})")
+    return ",\n".join(ctes)
+
+
+def ann_pq_oracle_sql() -> str:
+    from .search import TOP_K, _V_CTE
+
+    train = ",\n".join(_sql_pq_train(s) for s in range(M_SUB))
+    codes = "\nUNION ALL\n".join(
+        f"""  SELECT vec_id, {s} AS s, k AS code, list_inner_product(cent, cent) AS c2
+  FROM (
+    SELECT t.vec_id, c.k, c.cent,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY list_inner_product(c.cent, c.cent)
+                      - 2 * list_inner_product({_sub_slice('t.emb', s)}, c.cent),
+                      c.k) AS rn
+    FROM v t CROSS JOIN s{s}f c) WHERE rn = 1"""
+        for s in range(M_SUB)
+    )
+    qd = "\nUNION ALL\n".join(
+        f"""  SELECT query_id, qnrm, {s} AS s, c.k,
+         list_inner_product({_sub_slice('qemb', s)}, c.cent) AS qdot
+  FROM q CROSS JOIN s{s}f c"""
+        for s in range(M_SUB)
+    )
+    qsum = "((q0 + q1) + q2) + q3"
+    nsum = "((n0 + n1) + n2) + n3"
+    wide_cols = ",\n         ".join(
+        f"max(CASE WHEN s = {s} THEN qdot END) AS q{s},"
+        f" max(CASE WHEN s = {s} THEN c2 END) AS n{s}"
+        for s in range(M_SUB)
+    )
+    return f"""
+WITH {_V_CTE},
+sdims AS (
+  SELECT unnest(range(1, (SELECT max(len(emb))//{M_SUB} + 1 FROM v))) AS dim
+),
+tr AS (
+  SELECT vec_id, emb FROM (
+    SELECT vec_id, emb,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rs
+    FROM v) WHERE rs <= {SAMPLE_PER_CELL * K_PQ}
+),
+{train},
+codes AS (
+{codes}
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+  FROM v WHERE vec_id % {QUERY_MOD} = 0
+),
+qd AS (
+{qd}
+),
+pairs AS (
+  SELECT qd.query_id, qd.qnrm, c.vec_id, qd.s, qd.qdot, c.c2
+  FROM codes c JOIN qd ON qd.s = c.s AND qd.k = c.code
+  WHERE c.vec_id <> qd.query_id
+),
+wide AS (
+  SELECT query_id, qnrm, vec_id,
+         {wide_cols}
+  FROM pairs GROUP BY query_id, qnrm, vec_id
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(({qsum}) / (sqrt({nsum}) * qnrm), 4) AS cosine
+  FROM wide
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+"""

@@ -58,6 +58,7 @@ from .dedup import (
     embedding_neardup,
     embedding_neardup_oracle_sql,
 )
+from .ann.pq import ann_pq, ann_pq_oracle_sql
 from .ann import (
     ann_bruteforce,
     ann_bruteforce_oracle_sql,
@@ -773,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf": ann_ivf,
         "ann_lsh": ann_lsh,
+        "ann_pq": ann_pq,
         "multimodal_features": binary_features,
         "media_decode": media_features,
         "media_resize": media_resized_features,
@@ -816,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ann_bruteforce_oracle_sql(),
         "ann_ivf": ann_ivf_oracle_sql(),
         "ann_lsh": ann_lsh_oracle_sql(),
+        "ann_pq": ann_pq_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
         "media_resize": media_resize_oracle_sql(),
