@@ -67,7 +67,16 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """Train (or fetch) the M_SUB per-subspace codebooks. K_PQ x subdim
     rounded doubles per subspace — bounded driver metadata, like the
-    IVF centroids."""
+    IVF centroids.
+
+    All subspaces train in ONE pass over a subspace-tagged tall frame:
+    the md5-ordered sample is built once (its order is independent of
+    the subspace slice), seeds come from one collect of its first K_PQ
+    rows, and each Lloyd iteration is a single assignment + means job
+    for every subspace at once — value-identical to M_SUB independent
+    ``train_kmeans`` runs (pinned by test_ann_pq), but with 1/M_SUB the
+    driver round-trips. The per-subspace procedure remains the oracle's
+    spec."""
     if cache_key is not None:
         app = spark.sparkContext.applicationId
         got = _PQ_CODEBOOKS.get((app, cache_key))
@@ -75,13 +84,67 @@ def pq_codebooks(
             return got
     assert dim % M_SUB == 0, f"dim {dim} not divisible by M_SUB={M_SUB}"
     subdim = dim // M_SUB
-    books = []
-    for s in range(M_SUB):
-        sub = vecs.select(
-            "vec_id", F.slice("v", s * subdim + 1, subdim).alias("v")
+    from .search import KMEANS_ITERS
+    from .search import _d2_expr
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sample = (
+        vecs.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v"
         )
-        rows = sorted(train_kmeans(spark, sub, K_PQ).collect(), key=lambda r: r.k)
-        books.append([list(r.cent) for r in rows])
+        .orderBy("h", "vec_id")
+        .limit(SAMPLE_PER_CELL * K_PQ)
+        .repartition(n_parts)
+        .cache()
+    )
+    tall = sample.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * subdim + 1, subdim).alias("sv"),
+                    )
+                    for s in range(M_SUB)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    seed_rows = sample.orderBy("h", "vec_id").limit(K_PQ).collect()
+    seed_rows.sort(key=lambda r: (r.h, r.vec_id))
+    books = [
+        [list(r.v[s * subdim : (s + 1) * subdim]) for r in seed_rows]
+        for s in range(M_SUB)
+    ]
+    schema = "s INT, k INT, cent ARRAY<DOUBLE>"
+    for _ in range(KMEANS_ITERS):
+        cdf = spark.createDataFrame(
+            [(s, k, c) for s, book in enumerate(books) for k, c in enumerate(book)],
+            schema,
+        )
+        new_rows = (
+            tall.join(F.broadcast(cdf), "s")
+            .withColumn("d2", _d2_expr(F.col("sv"), F.col("cent")))
+            .groupBy("s", "vec_id")
+            .agg(F.min_by(F.struct("sv", "k"), F.struct("d2", "k")).alias("m"))
+            .select("s", F.col("m.sv").alias("sv"), F.col("m.k").alias("cell"))
+            .select("s", "cell", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("s", "cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("s", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st["m"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        for r in new_rows:
+            books[r.s][r.cell] = list(r.cent)
+        # empty cells keep their previous codeword (train_kmeans rule)
+    sample.unpersist()
     if cache_key is not None:
         if any(a != spark.sparkContext.applicationId for (a, _) in _PQ_CODEBOOKS):
             _PQ_CODEBOOKS.clear()

@@ -96,6 +96,20 @@ def test_adc_matches_driver_reference(spark, vecs):
     assert got == reference_adc(rows, books)
 
 
+def test_combined_training_equals_per_subspace(spark, vecs):
+    """The one-pass tall-frame trainer must produce value-identical
+    codebooks to M_SUB independent train_kmeans runs — the procedure
+    the oracle unrolls."""
+    from prec_spark.ann.search import train_kmeans
+
+    subdim = DIM // M_SUB
+    got = pq_codebooks(spark, vecs, DIM)
+    for s in range(M_SUB):
+        sub = vecs.select("vec_id", F.slice("v", s * subdim + 1, subdim).alias("v"))
+        rows = sorted(train_kmeans(spark, sub, K_PQ).collect(), key=lambda r: r.k)
+        assert got[s] == [list(r.cent) for r in rows]
+
+
 def test_codes_are_small_ints(spark, vecs):
     books = pq_codebooks(spark, vecs, DIM)
     codes = pq_encode(vecs, books, DIM)
