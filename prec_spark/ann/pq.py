@@ -180,36 +180,24 @@ def pq_encode(
     return coded.withColumn("n2", n2)
 
 
-def ann_pq(
-    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
-) -> DataFrame:
-    """(query_id, neighbor_id, rank, cosine) — top-5 by ADC-approximated
-    cosine over the PQ codes, self excluded.
-
-    The corpus side of the scoring join carries ONLY (vec_id, codes,
-    n2); each query row carries its M_SUB lookup tables (K_PQ doubles
-    each) built once from the codebooks. At 10^9 vectors the scored
-    frame is the code table — bytes per row, not the vectors — and the
-    per-pair work is M_SUB element_at lookups; compose with the IVF
-    cell filter for candidate pruning on top."""
+def _pq_parts(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None
+) -> tuple[DataFrame, int, list, DataFrame, DataFrame]:
+    """(vecs, dim, books, codes, qdf): the shared PQ machinery —
+    codebooks, the code table, and the per-query ADC lookup tables.
+    Session-cached on the sf_dir path (codes like the LSH buckets; the
+    qdf because its M_SUB*K_PQ*subdim dot expressions dominate
+    PLANNING, not execution — the frame is QUERY_MOD-small)."""
     if vectors is not None:
         vecs = vectors.select("vec_id", "v", "nrm")
-        head = vecs.select(F.size("v").alias("n")).head()
-        dim = head["n"] if head else 0
-        books = pq_codebooks(spark, vecs, dim)
-        codes = pq_encode(vecs, books, dim)
     else:
-        from ..cached import shared_cached_df
-
         vecs = cached_vectors(spark, sf_dir).select("vec_id", "v", "nrm")
-        head = vecs.select(F.size("v").alias("n")).head()
-        dim = head["n"] if head else 0
-        books = pq_codebooks(spark, vecs, dim, cache_key=sf_dir)
-        # the PQ index: built once per session, like the LSH buckets
-        codes = shared_cached_df(
-            spark, f"pq_codes:{sf_dir}", lambda: pq_encode(vecs, books, dim)
-        )
+    head = vecs.select(F.size("v").alias("n")).head()
+    dim = head["n"] if head else 0
     subdim = dim // M_SUB
+
+    def build_codes() -> DataFrame:
+        return pq_encode(vecs, books, dim)
 
     def build_qdf() -> DataFrame:
         q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -227,29 +215,105 @@ def ann_pq(
         return q.select("query_id", "qnrm", *tabs)
 
     if vectors is not None:
-        qdf = build_qdf()
+        books = pq_codebooks(spark, vecs, dim)
+        codes, qdf = build_codes(), build_qdf()
     else:
-        # the M_SUB * K_PQ * subdim dot expressions dominate PLANNING,
-        # not execution (the frame is QUERY_MOD-small) — cache the
-        # materialized tables so repeat searches skip that codegen
         from ..cached import shared_cached_df
 
+        books = pq_codebooks(spark, vecs, dim, cache_key=sf_dir)
+        codes = shared_cached_df(spark, f"pq_codes:{sf_dir}", build_codes)
         qdf = shared_cached_df(spark, f"pq_qtabs:{sf_dir}", build_qdf)
+    return vecs, dim, books, codes, qdf
 
+
+def _adc_score(pairs: DataFrame) -> DataFrame:
+    """ADC cosine over a frame carrying codes c0..c{M-1}, n2, the query
+    tables t0..t{M-1} and qnrm — M_SUB element_at lookups per pair."""
     adc = None
     for s in range(M_SUB):
         term = F.element_at(F.col(f"t{s}"), F.col(f"c{s}") + 1)
         adc = term if adc is None else adc + term
-    scored = (
-        codes.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(adc / (F.sqrt("n2") * F.col("qnrm")), 4).alias("cosine"),
-        )
+    return pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc / (F.sqrt("n2") * F.col("qnrm")), 4).alias("cosine"),
     )
-    return _topk(scored)
+
+
+def ann_pq(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — top-5 by ADC-approximated
+    cosine over the PQ codes, self excluded.
+
+    The corpus side of the scoring join carries ONLY (vec_id, codes,
+    n2); each query row carries its M_SUB lookup tables (K_PQ doubles
+    each) built once from the codebooks. At 10^9 vectors the scored
+    frame is the code table — bytes per row, not the vectors — and the
+    per-pair work is M_SUB element_at lookups; ann_ivfpq composes the
+    IVF cell filter on top for candidate pruning."""
+    _vecs, _dim, _books, codes, qdf = _pq_parts(spark, sf_dir, vectors)
+    pairs = codes.crossJoin(F.broadcast(qdf)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _topk(_adc_score(pairs))
+
+
+def ann_ivfpq(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN shape (an inverted-file
+    index over PQ codes): the IVF coarse quantizer prunes CANDIDATES
+    (each query scores only its NPROBE nearest cells) and PQ compresses
+    the candidates' REPRESENTATION (ADC table lookups, no vector math).
+    At 10^9 vectors the per-query work is nprobe cells x bytes-sized
+    codes — the composition both parents are gated for, sharing their
+    session caches (one trained coarse quantizer, one code table).
+
+    Exactness contract: same integer/float determinism as ann_pq and
+    ann_ivf; the oracle composes both unrolled training chains."""
+    from .search import NPROBE, _assign, _d2_expr, _k_cells, train_kmeans
+
+    vecs, dim, books, codes, qdf = _pq_parts(spark, sf_dir, vectors)
+    if vectors is not None:
+        cents = train_kmeans(spark, vecs, _k_cells(vecs.count()))
+        cells = _assign(vecs, cents).select("vec_id", "cell")
+    else:
+        from ..cached import shared_cached_df
+
+        cents = shared_cached_df(
+            spark, f"ivf_centroids:{sf_dir}",
+            lambda: train_kmeans(spark, vecs, _k_cells(vecs.count())),
+        )
+        # the inverted file: (vec_id, cell), built once per session
+        cells = shared_cached_df(
+            spark, f"ivf_cells:{sf_dir}",
+            lambda: _assign(vecs, cents).select("vec_id", "cell"),
+        )
+
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("query_id").orderBy("d2", "k")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _d2_expr(F.col("qv"), F.col("cent")))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("k").alias("cell"))
+        .join(qdf, "query_id")
+    )
+    # codes and cells co-join on vec_id (both session-cached,
+    # N-row frames); the probe set (queries x nprobe, with the ADC
+    # tables attached) broadcasts onto the cell filter
+    pairs = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _topk(_adc_score(pairs))
 
 
 # ------------------------------------------------------------------ oracle
@@ -262,16 +326,17 @@ def _sub_slice(col: str, s: int) -> str:
     )
 
 
-def _sql_pq_train(s: int) -> str:
+def _sql_pq_train(s: int, sample: str = "tr") -> str:
     """Seed + unrolled Lloyd CTEs for subspace ``s`` (mirror of
     train_kmeans over the sliced sample); final centroids land in
-    s{s}f."""
+    s{s}f. ``sample`` names the md5-ordered training-sample CTE (the
+    IVF-PQ composition uses a differently-bounded one)."""
     from .search import KMEANS_ITERS
 
     p = f"s{s}"
     ctes = [
         f"""{p}tr AS (
-  SELECT vec_id, {_sub_slice('emb', s)} AS emb FROM tr
+  SELECT vec_id, {_sub_slice('emb', s)} AS emb FROM {sample}
 )""",
         f"""{p}c0 AS (
   SELECT k, cent FROM (
@@ -306,6 +371,87 @@ def _sql_pq_train(s: int) -> str:
         prev = f"{a}c"
     ctes.append(f"{p}f AS (SELECT k, cent FROM {prev})")
     return ",\n".join(ctes)
+
+
+def ann_ivfpq_oracle_sql() -> str:
+    """IVF blocks (search.py: sample `tr`, Lloyd chain, final_assign,
+    probes) + PQ blocks (sample `ptr`, per-subspace chains, codes, qd),
+    composed: candidates = probe-cell matches, scored by ADC."""
+    from .search import TOP_K, _V_CTE, _sql_ivf_blocks
+
+    train = ",\n".join(_sql_pq_train(s, sample="ptr") for s in range(M_SUB))
+    codes = "\nUNION ALL\n".join(
+        f"""  SELECT vec_id, {s} AS s, k AS code, list_inner_product(cent, cent) AS c2
+  FROM (
+    SELECT t.vec_id, c.k, c.cent,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY list_inner_product(c.cent, c.cent)
+                      - 2 * list_inner_product({_sub_slice('t.emb', s)}, c.cent),
+                      c.k) AS rn
+    FROM v t CROSS JOIN s{s}f c) WHERE rn = 1"""
+        for s in range(M_SUB)
+    )
+    qd = "\nUNION ALL\n".join(
+        f"""  SELECT query_id, qnrm, {s} AS s, c.k,
+         list_inner_product({_sub_slice('qemb', s)}, c.cent) AS qdot
+  FROM q CROSS JOIN s{s}f c"""
+        for s in range(M_SUB)
+    )
+    qsum = "((q0 + q1) + q2) + q3"
+    nsum = "((n0 + n1) + n2) + n3"
+    wide_cols = ",\n         ".join(
+        f"max(CASE WHEN s = {s} THEN qdot END) AS q{s},"
+        f" max(CASE WHEN s = {s} THEN c2 END) AS n{s}"
+        for s in range(M_SUB)
+    )
+    return f"""
+WITH {_V_CTE},
+{_sql_ivf_blocks()},
+sdims AS (
+  SELECT unnest(range(1, (SELECT max(len(emb))//{M_SUB} + 1 FROM v))) AS dim
+),
+ptr AS (
+  SELECT vec_id, emb FROM (
+    SELECT vec_id, emb,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rs
+    FROM v) WHERE rs <= {SAMPLE_PER_CELL * K_PQ}
+),
+{train},
+codes AS (
+{codes}
+),
+qd AS (
+{qd}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, fa.vec_id
+  FROM probes p JOIN final_assign fa ON fa.cell = p.cell
+  WHERE fa.vec_id <> p.query_id
+),
+pairs AS (
+  SELECT qd.query_id, qd.qnrm, c.vec_id, c.s, qd.qdot, c.c2
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.vec_id
+  JOIN qd ON qd.query_id = cand.query_id AND qd.s = c.s AND qd.k = c.code
+),
+wide AS (
+  SELECT query_id, qnrm, vec_id,
+         {wide_cols}
+  FROM pairs GROUP BY query_id, qnrm, vec_id
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(({qsum}) / (sqrt({nsum}) * qnrm), 4) AS cosine
+  FROM wide
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def ann_pq_oracle_sql() -> str:

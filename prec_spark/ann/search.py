@@ -296,7 +296,10 @@ def _sql_assign(cent_table: str, out: str) -> str:
 )"""
 
 
-def ann_ivf_oracle_sql() -> str:
+def _sql_ivf_blocks() -> str:
+    """The IVF oracle CTE blocks (training sample, seed + Lloyd chain,
+    final corpus assignment, query set, probe cells) — shared by the
+    plain-IVF oracle and the IVF-PQ composition (ann/pq.py)."""
     # chain: c0 = seeds; a_i assigns off the previous centroids; each
     # a_i carries its updated centroid table a_i c
     chain = ""
@@ -304,9 +307,7 @@ def ann_ivf_oracle_sql() -> str:
     for i in range(KMEANS_ITERS):
         chain += "," + _sql_assign(prev, f"a{i}")
         prev = f"a{i}c"
-    return f"""
-WITH {_V_CTE},
-dims AS (
+    return f"""dims AS (
   SELECT unnest(range(1, (SELECT max(len(emb)) + 1 FROM v))) AS dim
 ),
 kcount AS (
@@ -346,7 +347,13 @@ final_assign AS (
              ORDER BY list_inner_product(c.cent, c.cent)
                       - 2 * list_inner_product(q.qemb, c.cent), c.k) AS rn
     FROM q CROSS JOIN {prev} c) WHERE rn <= {NPROBE}
-), scored AS (
+)"""
+
+
+def ann_ivf_oracle_sql() -> str:
+    return f"""
+WITH {_V_CTE},
+{_sql_ivf_blocks()}, scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          round(list_inner_product(v.emb, p.qemb) / (v.nrm * p.qnrm), 4) AS cosine
   FROM probes p

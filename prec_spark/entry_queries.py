@@ -58,7 +58,7 @@ from .dedup import (
     embedding_neardup,
     embedding_neardup_oracle_sql,
 )
-from .ann.pq import ann_pq, ann_pq_oracle_sql
+from .ann.pq import ann_ivfpq, ann_ivfpq_oracle_sql, ann_pq, ann_pq_oracle_sql
 from .ann import (
     ann_bruteforce,
     ann_bruteforce_oracle_sql,
@@ -775,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "ann_lsh": ann_lsh,
         "ann_pq": ann_pq,
+        "ann_ivfpq": ann_ivfpq,
         "multimodal_features": binary_features,
         "media_decode": media_features,
         "media_resize": media_resized_features,
@@ -819,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ann_ivf_oracle_sql(),
         "ann_lsh": ann_lsh_oracle_sql(),
         "ann_pq": ann_pq_oracle_sql(),
+        "ann_ivfpq": ann_ivfpq_oracle_sql(),
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
         "media_resize": media_resize_oracle_sql(),

@@ -53,7 +53,9 @@ def _round4(x):
     )
 
 
-def reference_adc(rows, books):
+def reference_scores(rows, books):
+    """{query_id: sorted [(-cosine, vid)] over ALL non-self candidates},
+    computed with the same sequential folds as the engine."""
     subdim = DIM // M_SUB
     codes, n2s = {}, {}
     for vid, v, _nrm in rows:
@@ -61,12 +63,12 @@ def reference_adc(rows, books):
         for s, book in enumerate(books):
             sub = v[s * subdim : (s + 1) * subdim]
             best = min(
-                (( _c2(c) - 2.0 * _sdot(sub, c), k) for k, c in enumerate(book))
+                ((_c2(c) - 2.0 * _sdot(sub, c), k) for k, c in enumerate(book))
             )
             cs.append(best[1])
             n2 += _c2(book[best[1]])
         codes[vid], n2s[vid] = cs, n2
-    out = []
+    out = {}
     for qid, qv, qnrm in rows:
         if qid % QUERY_MOD != 0:
             continue
@@ -81,6 +83,13 @@ def reference_adc(rows, books):
             cos = _round4(adc / (math.sqrt(n2s[vid]) * qnrm))
             scored.append((-cos, vid))
         scored.sort()
+        out[qid] = scored
+    return out
+
+
+def reference_adc(rows, books):
+    out = []
+    for qid, scored in reference_scores(rows, books).items():
         for rank, (negcos, vid) in enumerate(scored[:TOP_K], 1):
             out.append((qid, vid, rank, -negcos))
     return sorted(out)
@@ -122,6 +131,37 @@ def test_codes_are_small_ints(spark, vecs):
     ).head()
     for s in range(M_SUB):
         assert 0 <= agg[f"lo{s}"] and agg[f"hi{s}"] < K_PQ
+
+
+def test_ivfpq_matches_driver_reference(spark, vecs):
+    """The IVF-PQ composition == PQ ADC scoring restricted to the IVF
+    probe cells, both replicated independently on the driver."""
+    from prec_spark.ann.pq import ann_ivfpq
+    from prec_spark.ann.search import NPROBE, _k_cells, train_kmeans
+
+    rows = _mk_rows()
+    books = pq_codebooks(spark, vecs, DIM)
+    cents = {
+        r.k: list(r.cent)
+        for r in train_kmeans(spark, vecs, _k_cells(len(rows))).collect()
+    }
+
+    def nearest_cells(v, n):
+        ranked = sorted((_c2(c) - 2.0 * _sdot(v, c), k) for k, c in cents.items())
+        return [k for _d2, k in ranked[:n]]
+
+    cell_of = {vid: nearest_cells(v, 1)[0] for vid, v, _ in rows}
+    expect = []
+    for qid, scored in reference_scores(rows, books).items():
+        probe = set(nearest_cells(next(v for i, v, _ in rows if i == qid), NPROBE))
+        pruned = [(negcos, vid) for negcos, vid in scored if cell_of[vid] in probe]
+        for rank, (negcos, vid) in enumerate(pruned[:TOP_K], 1):
+            expect.append((qid, vid, rank, -negcos))
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ann_ivfpq(spark, "", vectors=vecs).collect()
+    )
+    assert got == sorted(expect)
 
 
 def test_pq_partitioning_invariance(spark, vecs):
