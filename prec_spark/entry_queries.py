@@ -71,12 +71,20 @@ from .multimodal import binary_features, binary_features_oracle_sql
 from .multimodal.media import (
     media_features,
     media_features_oracle_sql,
+    media_gif_features,
+    media_gif_oracle_sql,
     media_resize_oracle_sql,
     media_resized_features,
 )
 from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
+from .plans.components import (
+    cc_graph,
+    cc_iterate,
+    components_oracle_sql,
+    instance_edges,
+)
 from .plans.pagerank import (
     pagerank_graph,
     pagerank_iterate,
@@ -728,6 +736,25 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iterate(ed, nodes)
 
 
+def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the KG instance graph (see
+    plans/components.py): conversation clusters merged only through
+    shared entity/tool nodes, via fixed-round min-label + pointer-jump
+    propagation with a loud convergence probe.  The symmetric edge
+    list and node set (re-read by every round) are session-cached."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    nodes = shared_cached_df(
+        spark,
+        f"kg_cc_nodes:{sf_dir}",
+        lambda: und.select(F.col("src").alias("node")).distinct(),
+    )
+    return cc_iterate(und, nodes)
+
+
 def _kg_triples_oracle() -> str:
     return f"""
 SELECT DISTINCT s, p, o FROM (
@@ -760,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_triples": entity_triples,
         "kg_triples": _kg_triples,
         "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -779,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": binary_features,
         "media_decode": media_features,
         "media_resize": media_resized_features,
+        "media_gif": media_gif_features,
         "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
     }
@@ -805,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_triples": entity_triples_oracle_sql(),
         "kg_triples": _kg_triples_oracle(),
         "kg_pagerank": pagerank_oracle_sql(_kg_triples_oracle()),
+        "kg_components": components_oracle_sql(_kg_triples_oracle()),
         "text_stats": text_stats_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(),
@@ -824,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": binary_features_oracle_sql(),
         "media_decode": media_features_oracle_sql(),
         "media_resize": media_resize_oracle_sql(),
+        "media_gif": media_gif_oracle_sql(),
         "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
     }

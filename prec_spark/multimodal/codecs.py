@@ -310,6 +310,174 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, len(out), out
 
 
+# ------------------------------------------------------------------ GIF
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_LZW_MAX_WIDTH = 12
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits,
+    LSB-first packing), CLEAR emitted up front and again whenever the
+    table fills (4096 entries)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < (1 << _LZW_MAX_WIDTH):
+            table[wk] = next_code
+            next_code += 1
+            # the decoder widens after defining entry (1<<size)-1, so
+            # the NEXT emission must already use the wider code
+            if next_code > (1 << code_size) and code_size < _LZW_MAX_WIDTH:
+                code_size += 1
+        else:
+            emit(clear)
+            table, next_code, code_size = reset()
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_encode (the canonical giflib-compatible rules:
+    entry added per code read, width bumped when the table reaches the
+    current width's capacity, adds suspended at 4096 until CLEAR)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                del table[eoi + 1 :]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None and code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            if prev is not None and len(table) < (1 << _LZW_MAX_WIDTH):
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < _LZW_MAX_WIDTH:
+                    code_size += 1
+            prev = entry
+    raise ValueError("truncated LZW stream (no EOI)")
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """GIF89a with a 256-entry global color table: LZW-compressed
+    8-bit index pixels in 255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256 RGB entries")
+    # packed: GCT present | 8-bit color resolution | GCT size 2^(7+1)
+    screen = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    lzw = _lzw_encode(indices)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + screen + palette + img_desc + bytes([8]) + blocks + b"\x00\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
+    """-> (width, height, index bytes row-major, 768-byte palette).
+
+    General single-image reader: global or local color table, 89a
+    extension blocks skipped, any LZW min code size, non-interlaced."""
+    if data[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            _l, _t, width, height, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pos += 10
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(lzw), min_code_size)
+            if len(indices) != width * height:
+                raise ValueError("GIF pixel count mismatch")
+            if len(palette) < 768:
+                palette = palette + b"\x00" * (768 - len(palette))
+            return width, height, bytes(indices), palette
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
 # ------------------------------------------------------------------ WAV
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -343,6 +511,8 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
 def sniff_kind(data: bytes) -> str:
     if data[:8] == _PNG_MAGIC:
         return "image/png"
+    if data[:6] in _GIF_MAGICS:
+        return "image/gif"
     if data[:2] == b"BM":
         return "image/bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":

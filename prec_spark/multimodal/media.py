@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 from ..session import load_table
 from .codecs import (
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_wav_np,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_wav,
     sniff_kind,
@@ -203,6 +205,84 @@ def media_resized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield res
 
     return media.mapInPandas(resize, MEDIA_RESIZE_SCHEMA)
+
+
+#: 256-entry palette with per-channel affine formulas, so the oracle
+#: can predict palette-mapped sums without seeing the color table
+GIF_PALETTE = bytes(
+    b
+    for i in range(256)
+    for b in ((5 * i + 11) % 256, (3 * i + 1) % 256, (7 * i + 5) % 256)
+)
+
+MEDIA_GIF_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, "
+    "idx_sum BIGINT, r_sum BIGINT, g_sum BIGINT, b_sum BIGINT"
+)
+
+
+def synth_gif_payload(doc_id: int) -> bytes:
+    """LZW-compressed GIF89a: w=5+id%28, h=4+id%23,
+    idx(x,y) = (id + 3x + 5y) % 256 over GIF_PALETTE."""
+    w, h = 5 + doc_id % 28, 4 + doc_id % 23
+    y, x = np.mgrid[0:h, 0:w]
+    idx = ((doc_id + 3 * x + 5 * y) % 256).astype(np.uint8)
+    return encode_gif(w, h, idx.tobytes(), GIF_PALETTE)
+
+
+def media_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image decode end-to-end: every document gets a REAL
+    GIF89a payload (the from-scratch LZW encoder in codecs.py), the
+    extractor sniffs + LZW-decodes it back and palette-maps the indices
+    to per-channel sums.  The oracle predicts every feature from the
+    closed-form index/palette formulas without seeing any bytes — the
+    gate therefore proves the variable-width LZW round trip is
+    value-exact, the same contract as the PNG/BMP/WAV decode gate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = synth_gif_payload(did)
+                kind = sniff_kind(payload)
+                w, h, idx_b, pal_b = decode_gif(payload)
+                idx = np.frombuffer(idx_b, np.uint8).astype(np.int64)
+                rgb = np.frombuffer(pal_b, np.uint8).reshape(256, 3).astype(np.int64)[idx]
+                rows.append(
+                    (did, kind, w, h, int(idx.sum()),
+                     int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "width", "height",
+                         "idx_sum", "r_sum", "g_sum", "b_sum"],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return d.mapInPandas(extract, MEDIA_GIF_SCHEMA)
+
+
+def media_gif_oracle_sql() -> str:
+    """Closed-form index/palette sums (no bytes)."""
+    return """
+WITH img AS (
+  SELECT doc_id, 5 + doc_id % 28 AS w, 4 + doc_id % 23 AS h FROM documents
+),
+gx AS (SELECT *, unnest(range(0, w)) AS x FROM img),
+grid AS (SELECT *, unnest(range(0, h)) AS y FROM gx),
+px AS (SELECT doc_id, w, h, (doc_id + 3*x + 5*y) % 256 AS idx FROM grid)
+SELECT doc_id, 'image/gif' AS kind,
+       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(sum(idx) AS BIGINT) AS idx_sum,
+       CAST(sum((5*idx + 11) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((3*idx + 1) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((7*idx + 5) % 256) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id
+"""
 
 
 def media_resize_oracle_sql() -> str:

@@ -265,3 +265,51 @@ def test_resize_identity_when_same_size():
 
     img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     assert (resize_nn(img, 8, 8) == img).all()
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_roundtrip():
+    import random
+
+    from prec_spark.multimodal.codecs import decode_gif, encode_gif, sniff_kind
+
+    random.seed(11)
+    pal = bytes(random.randrange(256) for _ in range(768))
+    for w, h in ((1, 1), (7, 3), (32, 26), (64, 64)):
+        idx = bytes(random.randrange(256) for _ in range(w * h))
+        g = encode_gif(w, h, idx, pal)
+        assert sniff_kind(g) == "image/gif"
+        assert decode_gif(g) == (w, h, idx, pal)
+
+
+def test_gif_lzw_variable_width_and_table_reset():
+    """A 60k random index stream forces the code width to grow to 12
+    bits AND overflows the 4096-entry table, exercising the mid-stream
+    CLEAR/reset path; structured repeats exercise the KwKwK case."""
+    import random
+
+    from prec_spark.multimodal.codecs import _lzw_decode, _lzw_encode
+
+    random.seed(13)
+    big = bytes(random.randrange(256) for _ in range(60000))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    kwk = b"aaaaaaaaaa" + b"abababababab" + b"abcabcabcabc" * 400
+    assert _lzw_decode(_lzw_encode(kwk)) == kwk
+
+
+def test_gif_synth_features_match_closed_form():
+    """The decoder's output must equal the generator formulas — the
+    same closed forms the DuckDB oracle evaluates."""
+    import numpy as np
+
+    from prec_spark.multimodal.codecs import decode_gif
+    from prec_spark.multimodal.media import GIF_PALETTE, synth_gif_payload
+
+    for doc_id in (0, 1, 17, 254, 1000):
+        w, h, idx_b, pal_b = decode_gif(synth_gif_payload(doc_id))
+        assert (w, h) == (5 + doc_id % 28, 4 + doc_id % 23)
+        assert pal_b == GIF_PALETTE
+        idx = np.frombuffer(idx_b, np.uint8).astype(np.int64).reshape(h, w)
+        y, x = np.mgrid[0:h, 0:w]
+        assert (idx == (doc_id + 3 * x + 5 * y) % 256).all()
