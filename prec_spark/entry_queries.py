@@ -80,8 +80,9 @@ from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.components import (
+    cc_encode,
     cc_graph,
-    cc_iterate,
+    cc_iterate_ids,
     components_oracle_sql,
     instance_edges,
 )
@@ -739,20 +740,31 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the KG instance graph (see
     plans/components.py): conversation clusters merged only through
-    shared entity/tool nodes, via fixed-round min-label + pointer-jump
-    propagation with a loud convergence probe.  The symmetric edge
-    list and node set (re-read by every round) are session-cached."""
+    shared entity/tool nodes, via min-label + pointer-jump propagation
+    with an exact sum-based early exit and a loud non-convergence
+    failure.  The integer-encoded graph (the frames every round
+    re-reads) is session-cached, so warm calls pay only the rounds."""
+
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
     )
-    nodes = shared_cached_df(
+    ids = shared_cached_df(
         spark,
-        f"kg_cc_nodes:{sf_dir}",
-        lambda: und.select(F.col("src").alias("node")).distinct(),
+        f"kg_cc_ids:{sf_dir}",
+        lambda: cc_encode(und, und.select(F.col("src").alias("node")).distinct())[0],
     )
-    return cc_iterate(und, nodes)
+    iund = shared_cached_df(
+        spark,
+        f"kg_cc_iund:{sf_dir}",
+        lambda: und.join(
+            ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc")), "src"
+        )
+        .join(ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst")), "dst")
+        .select("isrc", "idst"),
+    )
+    return cc_iterate_ids(ids, iund)
 
 
 def _kg_triples_oracle() -> str:

@@ -86,10 +86,32 @@ def cc_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return und, nodes
 
 
-def _neighbor_min(und: DataFrame, lab: DataFrame) -> DataFrame:
+def cc_encode(und: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ids, iund): an ORDER-PRESERVING dense integer id per node
+    (sorted position, so min-by-int-id == min-by-string-id) and the
+    edge list re-expressed in those ids.
+
+    Every propagation round then shuffles 16-byte long pairs instead
+    of IRI/bnode strings, and the integer label space enables the
+    exact sum-based convergence test in cc_iterate.  The ids come from
+    ``zipWithIndex`` over the globally sorted node set — distributed
+    (no single-partition Window) and deterministic, because the sort
+    order is total and zipWithIndex numbers rows in partition order."""
+    spark = und.sparkSession
+    ids = spark.createDataFrame(
+        nodes.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex(),
+        "node string, nid long",
+    )
+    s_ids = ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc"))
+    d_ids = ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst"))
+    iund = und.join(s_ids, "src").join(d_ids, "dst").select("isrc", "idst")
+    return ids, iund
+
+
+def _neighbor_min(iund: DataFrame, lab: DataFrame) -> DataFrame:
     mn = (
-        und.join(lab, und["src"] == lab["node"])
-        .groupBy(F.col("dst").alias("node"))
+        iund.join(lab, iund["isrc"] == lab["node"])
+        .groupBy(F.col("idst").alias("node"))
         .agg(F.min("lab").alias("mn"))
     )
     return lab.join(mn, "node", "left").select(
@@ -97,20 +119,30 @@ def _neighbor_min(und: DataFrame, lab: DataFrame) -> DataFrame:
     )
 
 
-def cc_iterate(
-    und: DataFrame,
-    nodes: DataFrame,
+def cc_iterate_ids(
+    ids: DataFrame,
+    iund: DataFrame,
     rounds: int = ROUNDS,
     check_convergence: bool = True,
 ) -> DataFrame:
-    """Run ``rounds`` rounds of neighbor-min + pointer jump and return
-    (node, comp).  With ``check_convergence`` (the default) one extra
-    neighbor-min probe verifies the labels are a fixpoint and raises
-    if they are not — the fixed-round contract then provably equals
-    true connected components."""
-    lab = nodes.select("node", F.col("node").alias("lab"))
-    for k in range(rounds):
-        nm = _neighbor_min(und, lab)
+    """Neighbor-min + pointer-jump rounds over the integer-encoded
+    graph; returns (node, comp) in the original string id space.
+
+    With ``check_convergence`` (the default) the loop EXITS EARLY as
+    soon as a round changes nothing and raises loudly if the label
+    mass is still moving after ``rounds`` rounds — so the answer is
+    always the true connected-components fixpoint, never a silent
+    partial propagation.  Convergence is detected without any join:
+    labels only ever decrease (they are mins over growing reach sets),
+    so the total label sum is strictly monotone — equal sums between
+    rounds is an EXACT no-change test, the integer-fixed-point trick
+    that also makes the result hashable cross-engine.  (At >10^9 nodes
+    switch the sum to DECIMAL to keep it overflow-free.)"""
+    lab = ids.select(F.col("nid").alias("node"), F.col("nid").alias("lab"))
+    prev_mass = None if check_convergence else 0
+    converged = not check_convergence
+    for _ in range(rounds):
+        nm = _neighbor_min(iund, lab)
         # pointer jump: follow the label to ITS label.  Every label is
         # a node id (mins over node-id sets), so the self-join is total.
         jump = nm.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
@@ -125,21 +157,37 @@ def cc_iterate(
         # the checkpoint is cheap at any scale (use checkpoint() on a
         # cluster-visible dir for executor-loss resilience)
         lab = lab.localCheckpoint()
-    if check_convergence:
-        probe = _neighbor_min(und, lab)
-        changed = (
-            lab.withColumnRenamed("lab", "before")
-            .join(probe, "node")
-            .filter(F.col("before") != F.col("lab"))
-            .count()
+        if check_convergence:
+            mass = lab.agg(F.sum("lab")).collect()[0][0]
+            if mass == prev_mass:
+                converged = True
+                break
+            prev_mass = mass
+    if not converged:
+        raise RuntimeError(
+            f"cc_iterate: labels still changing after {rounds} rounds — "
+            "raise `rounds` (graph diameter too large for the configured "
+            "round count)"
         )
-        if changed:
-            raise RuntimeError(
-                f"cc_iterate: {changed} labels still changing after "
-                f"{rounds} rounds — raise `rounds` (graph diameter too "
-                "large for the configured round count)"
-            )
-    return lab.select("node", F.col("lab").alias("comp"))
+    return (
+        lab.join(ids.select(F.col("nid").alias("node"), F.col("node").alias("node_s")), "node")
+        .join(ids.select(F.col("nid").alias("lab"), F.col("node").alias("comp")), "lab")
+        .select(F.col("node_s").alias("node"), "comp")
+    )
+
+
+def cc_iterate(
+    und: DataFrame,
+    nodes: DataFrame,
+    rounds: int = ROUNDS,
+    check_convergence: bool = True,
+) -> DataFrame:
+    """String-space convenience wrapper: encode to integer ids, run
+    the rounds, map back."""
+    ids, iund = cc_encode(und, nodes)
+    return cc_iterate_ids(
+        ids.localCheckpoint(), iund.localCheckpoint(), rounds, check_convergence
+    )
 
 
 def components(triples: DataFrame, rounds: int = ROUNDS) -> DataFrame:
