@@ -31,6 +31,12 @@ from .text.mentions import (
     mentions_df,
     mentions_oracle_sql,
 )
+from .text.quality import (
+    pii_scrub,
+    pii_scrub_oracle_sql,
+    quality_gopher,
+    quality_gopher_oracle_sql,
+)
 from .transcripts import transcripts_df, transcripts_oracle_sql
 from .text.analysis import (
     doc_fingerprint,
@@ -79,6 +85,7 @@ from .multimodal.media import (
 from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
+from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.components import (
     cc_encode,
     cc_graph,
@@ -737,14 +744,10 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iterate(ed, nodes)
 
 
-def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the KG instance graph (see
-    plans/components.py): conversation clusters merged only through
-    shared entity/tool nodes, via min-label + pointer-jump propagation
-    with an exact sum-based early exit and a loud non-convergence
-    failure.  The integer-encoded graph (the frames every round
-    re-reads) is session-cached, so warm calls pay only the rounds."""
-
+def _kg_instance_graph(spark: SparkSession, sf_dir: str):
+    """Session-cached integer-encoded instance graph (ids, iund) —
+    shared by kg_components and kg_bfs, so only the first caller pays
+    the KG materialization and the id encoding."""
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
@@ -764,7 +767,26 @@ def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst")), "dst")
         .select("isrc", "idst"),
     )
+    return ids, iund
+
+
+def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the KG instance graph (see
+    plans/components.py): conversation clusters merged only through
+    shared entity/tool nodes, via min-label + pointer-jump propagation
+    with an exact sum-based early exit and a loud non-convergence
+    failure.  The integer-encoded graph (the frames every round
+    re-reads) is session-cached, so warm calls pay only the rounds."""
+    ids, iund = _kg_instance_graph(spark, sf_dir)
     return cc_iterate_ids(ids, iund)
+
+
+def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon hop distance from every KG resource to its
+    nearest entity node (see plans/bfs.py); shares the session-cached
+    integer graph with kg_components."""
+    ids, iund = _kg_instance_graph(spark, sf_dir)
+    return bfs_ids(ids, iund)
 
 
 def _kg_triples_oracle() -> str:
@@ -800,10 +822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
+        "kg_bfs": _kg_bfs,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "token_counts": token_counts,
+        "quality_gopher": quality_gopher,
+        "pii_scrub": pii_scrub,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -847,10 +872,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_oracle(),
         "kg_pagerank": pagerank_oracle_sql(_kg_triples_oracle()),
         "kg_components": components_oracle_sql(_kg_triples_oracle()),
+        "kg_bfs": bfs_oracle_sql(_kg_triples_oracle()),
         "text_stats": text_stats_oracle_sql(),
         "lang_id": lang_id_oracle_sql(),
         "doc_fingerprint": doc_fingerprint_oracle_sql(),
         "token_counts": token_counts_oracle_sql(),
+        "quality_gopher": quality_gopher_oracle_sql(),
+        "pii_scrub": pii_scrub_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_minhash": dedup_minhash_oracle_sql(),
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),

@@ -205,7 +205,6 @@ def components_oracle_sql(triples_sql: str, rounds: int = ROUNDS) -> str:
     MUST be ``MATERIALIZED``: DuckDB inlines plain CTEs, which would
     expand this chain to 4^rounds copies of the base query and hang
     the planner."""
-    excl = ", ".join(f"'{p}'" for p in SCHEMA_PREDICATES)
     ctes = []
     for k in range(1, rounds + 1):
         ctes.append(
@@ -223,7 +222,18 @@ l{k} AS MATERIALIZED (
         )
     body = ",\n".join(ctes)
     return f"""
-WITH kg AS MATERIALIZED ({triples_sql}),
+WITH {graph_ctes(triples_sql)},
+l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+{body}
+SELECT node, lab AS comp FROM l{rounds}
+"""
+
+
+def graph_ctes(triples_sql: str) -> str:
+    """The shared kg/edges/und/nodes CTE prefix (instance graph in SQL)
+    — reused by the components and BFS oracles."""
+    excl = ", ".join(f"'{p}'" for p in SCHEMA_PREDICATES)
+    return f"""kg AS MATERIALIZED ({triples_sql}),
 edges AS (
   SELECT s AS src, o AS dst FROM kg
   WHERE o NOT LIKE '"%' AND p NOT IN ({excl})
@@ -233,8 +243,4 @@ und AS MATERIALIZED (
     SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
   ) u
 ),
-nodes AS (SELECT DISTINCT src AS node FROM und),
-l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
-{body}
-SELECT node, lab AS comp FROM l{rounds}
-"""
+nodes AS (SELECT DISTINCT src AS node FROM und)"""

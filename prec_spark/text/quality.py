@@ -1,0 +1,198 @@
+"""Gopher-style quality filtering and PII scrubbing over `documents`.
+
+Training-data-pipeline operators (no reference counterpart; required
+first-class components per the build brief), both hash-gated:
+
+* ``quality_gopher`` — the composite document-quality verdict a
+  pretraining pipeline applies before tokenization: word-count bounds,
+  mean-word-length bounds, minimum stop-word evidence, and the
+  REPETITION rule (fraction of all word-bigrams taken by the most
+  frequent one).  Every statistic is exact integer arithmetic (the
+  mean word length is a x100 fixed-point div, the repetition share an
+  integer percentage), so the whole verdict row hash-matches DuckDB.
+
+* ``pii_scrub`` — regex redaction of emails/phones.  The synthetic
+  corpus contains no PII, so the operator follows the media-codec gate
+  pattern: a deterministic injector appends per-doc PII spans (plus a
+  negative-control decoy that must NOT match), the scrubber redacts
+  with plain character-class regexes that mean the same thing to
+  Java's engine and DuckDB's RE2, and the oracle predicts the SCRUBBED
+  text closed-form without ever running a regex — so the gate checks
+  the redaction hits exactly the injected spans and nothing else.
+
+Scale notes: both are embarrassingly parallel single-pass scans (the
+repetition rule adds one per-doc-keyed aggregation whose fan-in is the
+per-document bigram multiset — no global shuffle beyond the doc key).
+No Python rows anywhere; everything is JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .analysis import STOPWORDS
+
+#: Gopher-ish rule thresholds (integer/fixed-point so the verdict is
+#: exactly portable): 50 <= words <= 100k, 3.00 <= mean word len <=
+#: 10.00, >= 2 stop-word hits, top bigram <= 20% of all bigrams.
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MWL_X100, MAX_MWL_X100 = 300, 1000
+MIN_STOP_HITS = 2
+MAX_DUP_BIGRAM_PCT = 20
+
+
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, mean_word_len_x100, n_stop, max_bigram_count,
+    n_bigrams, dup_bigram_pct, keep) — integer-exact composite quality
+    verdict."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        # single-space tokenized: total token chars = n_chars - (n-1)
+        F.expr(
+            "(100 * (length(text) - size(split(text, ' ')) + 1))"
+            " div size(split(text, ' '))"
+        ).alias("mean_word_len_x100"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+        toks.alias("t"),
+    )
+    # bigram strings (tokens never contain spaces, so the join is
+    # injective); sequence() descends when stop < start, hence the
+    # explicit empty-array guard for sub-2-token docs
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    rep = counts.groupBy("doc_id").agg(
+        F.max("c").alias("max_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    out = base.drop("t").join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_x100",
+        "n_stop",
+        F.coalesce("max_bigram_count", F.lit(0)).alias("max_bigram_count"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+    )
+    dup_pct = F.when(F.col("n_bigrams") == 0, F.lit(0)).otherwise(
+        F.expr("(100 * max_bigram_count) div n_bigrams")
+    )
+    return out.withColumn("dup_bigram_pct", dup_pct).withColumn(
+        "keep",
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len_x100") >= MIN_MWL_X100)
+        & (F.col("mean_word_len_x100") <= MAX_MWL_X100)
+        & (F.col("n_stop") >= MIN_STOP_HITS)
+        & (F.col("dup_bigram_pct") <= MAX_DUP_BIGRAM_PCT),
+    )
+
+
+def quality_gopher_oracle_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         (100 * (length(text) - len(t) + 1)) // len(t) AS mean_word_len_x100,
+         len(list_filter(t, x -> list_contains([{stop}], x))) AS n_stop,
+         t
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, unnest(list_zip(t, t[2:])) AS pr FROM base
+),
+cnt AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, count(*) AS c
+  FROM bg WHERE pr[2] IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+rep AS (
+  SELECT doc_id, max(c) AS max_bigram_count, sum(c) AS n_bigrams
+  FROM cnt GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_words, b.mean_word_len_x100, b.n_stop,
+         COALESCE(r.max_bigram_count, 0) AS max_bigram_count,
+         COALESCE(r.n_bigrams, 0) AS n_bigrams
+  FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+)
+SELECT doc_id, n_words, mean_word_len_x100, n_stop,
+       max_bigram_count, n_bigrams,
+       CASE WHEN n_bigrams = 0 THEN 0
+            ELSE (100 * max_bigram_count) // n_bigrams END AS dup_bigram_pct,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND mean_word_len_x100 >= {MIN_MWL_X100}
+        AND mean_word_len_x100 <= {MAX_MWL_X100}
+        AND n_stop >= {MIN_STOP_HITS}
+        AND CASE WHEN n_bigrams = 0 THEN 0
+                 ELSE (100 * max_bigram_count) // n_bigrams END
+            <= {MAX_DUP_BIGRAM_PCT}) AS keep
+FROM j
+"""
+
+
+#: plain character-class regexes — identical semantics under Java's
+#: backtracking engine (Spark) and RE2 (DuckDB): no lookaround, no
+#: backreferences, greedy quantifiers over disjoint classes
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def _injected(doc_id_col, text_col):
+    """text || injected email + decoy + phone, all derived from doc_id.
+    The decoy 'a@b' has no TLD and must survive scrubbing untouched."""
+    return F.concat(
+        text_col,
+        F.lit(" email user"),
+        doc_id_col.cast("string"),
+        F.lit("@example.com not-pii a@b call 555-"),
+        F.lpad((doc_id_col % 10000).cast("string"), 4, "0"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed) — inject deterministic
+    PII spans, then redact them by regex (see module doc)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = _injected(F.col("doc_id"), F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def pii_scrub_oracle_sql() -> str:
+    """Predicts the scrubbed text CLOSED-FORM (string concatenation
+    only — no regex on the oracle side), so the gate fails if the
+    Spark regexes match anything beyond the injected spans (e.g. the
+    decoy) or miss them."""
+    return """
+SELECT doc_id,
+       1 AS n_emails,
+       1 AS n_phones,
+       text || ' email <EMAIL> not-pii a@b call <PHONE>' AS scrubbed
+FROM documents
+"""
