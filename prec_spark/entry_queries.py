@@ -83,7 +83,12 @@ from .multimodal.media import (
     media_resized_features,
 )
 from .multimodal.video import video_features, video_features_oracle_sql
+from .streaming.events import (
+    windowed_value_rollup,
+    windowed_value_rollup_oracle_sql,
+)
 from .streaming.kg import kg_stream_triples
+from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.components import (
@@ -847,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif": media_gif_features,
         "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
+        "events_sessionize": sessionize_batch,
+        "events_rollup": windowed_value_rollup,
     }
 
 
@@ -897,4 +904,6 @@ def oracle_sql() -> dict[str, str]:
         "media_gif": media_gif_oracle_sql(),
         "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
+        "events_sessionize": sessionize_oracle_sql(),
+        "events_rollup": windowed_value_rollup_oracle_sql(),
     }

@@ -43,6 +43,41 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed(events)
 
 
+def windowed_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated tumbling-day rollup: value is converted to integer
+    CENTS per event before summing, so the aggregate is a commutative
+    integer sum — order-free and hash-gateable cross-engine, where a
+    double sum would depend on partition order.  (Spark F.round and
+    DuckDB round both round half away from zero for this cast.)"""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value_cents",
+        )
+    )
+
+
+def windowed_value_rollup_oracle_sql() -> str:
+    """date_trunc('day') == the UTC-aligned 1-day tumbling window."""
+    return """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def run_windowed_counts_stream(
     spark: SparkSession, sf_dir: str, name: str = "events_windowed"
 ) -> DataFrame:

@@ -51,6 +51,35 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("session_id")
 
 
+def sessionize_oracle_sql() -> str:
+    """The identical gap analysis in SQL.  The gap is computed on
+    WHOLE epoch seconds (``epoch_us // 1_000_000``) because Spark's
+    timestamp->long cast truncates to seconds — mirroring the batch
+    plan exactly, fractional-second differences and all."""
+    gap = GAP_MINUTES * 60
+    return f"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) // 1000000
+                 - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                 > {gap}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM m
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS INT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def _sessionize_group(key, pdfs, state: GroupState):
     """applyInPandasWithState update function (Arrow-batched)."""
     (user_id,) = key
