@@ -36,6 +36,8 @@ from .text.quality import (
     pii_scrub_oracle_sql,
     quality_gopher,
     quality_gopher_oracle_sql,
+    tfidf_rank,
+    tfidf_rank_oracle_sql,
 )
 from .transcripts import transcripts_df, transcripts_oracle_sql
 from .text.analysis import (
@@ -834,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "quality_gopher": quality_gopher,
         "pii_scrub": pii_scrub,
+        "tfidf_rank": tfidf_rank,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -886,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": token_counts_oracle_sql(),
         "quality_gopher": quality_gopher_oracle_sql(),
         "pii_scrub": pii_scrub_oracle_sql(),
+        "tfidf_rank": tfidf_rank_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_minhash": dedup_minhash_oracle_sql(),
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),

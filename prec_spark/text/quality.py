@@ -1,4 +1,5 @@
-"""Gopher-style quality filtering and PII scrubbing over `documents`.
+"""Gopher-style quality filtering, PII scrubbing, and integer TF-IDF
+retrieval over `documents`.
 
 Training-data-pipeline operators (no reference counterpart; required
 first-class components per the build brief), both hash-gated:
@@ -146,6 +147,72 @@ SELECT doc_id, n_words, mean_word_len_x100, n_stop,
                  ELSE (100 * max_bigram_count) // n_bigrams END
             <= {MAX_DUP_BIGRAM_PCT}) AS keep
 FROM j
+"""
+
+
+# ---------------------------------------------------------------- tf-idf
+
+#: fixed retrieval query for the gated ranking demo (terms present in
+#: the synthetic vocabulary with distinct document frequencies)
+QUERY_TERMS = ["hash", "merge", "vector"]
+IDF_SCALE = 1_000_000
+TOP_K = 20
+
+
+def tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) — top-K documents for QUERY_TERMS under an
+    INTEGER TF-IDF: score = sum over query terms of
+    tf(doc, term) * (IDF_SCALE * N) div df(term).
+
+    The integer idf is a monotone transform of N/df, so the ranking is
+    the classic tf-idf ranking — but every score is exact integer
+    arithmetic, which makes the whole top-K hash-gateable (float idf
+    would be engine-ordering-dependent).  Ties break by doc_id, so the
+    cut at K is a total order.
+
+    Scale notes: tokens explode once, the query-term filter prunes
+    before any shuffle, df is a tiny per-term aggregate joined back by
+    broadcast, and the top-K is TakeOrderedAndProject (no global sort,
+    no partition-less Window)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term", F.expr(f"({IDF_SCALE} * {n_docs}L) div df").alias("idf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def tfidf_rank_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ({IDF_SCALE} * (SELECT count(*) FROM documents)) // count(*) AS idf
+  FROM tf GROUP BY term
+)
+SELECT t.doc_id, CAST(sum(t.tf * i.idf) AS BIGINT) AS score
+FROM tf t JOIN idf i ON t.term = i.term
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id
+LIMIT {TOP_K}
 """
 
 

@@ -149,3 +149,47 @@ def test_pii_scrub_injection_and_negative_control(spark, sf_dir):
         assert "a@b" in r["scrubbed"]  # decoy survives
         assert "@example.com" not in r["scrubbed"]
         assert "555-0" not in r["scrubbed"].replace("<PHONE>", "")
+
+
+# -------------------------------------------------------------- tf-idf
+
+def reference_tfidf(docs):
+    from prec_spark.text.quality import IDF_SCALE, QUERY_TERMS, TOP_K
+
+    n = len(docs)
+    tf = {}
+    for doc_id, text in docs:
+        for w in text.split(" "):
+            if w in QUERY_TERMS:
+                tf[(doc_id, w)] = tf.get((doc_id, w), 0) + 1
+    df = {}
+    for (_d, w), _c in tf.items():
+        df[w] = df.get(w, 0) + 1
+    idf = {w: (IDF_SCALE * n) // c for w, c in df.items()}
+    score = {}
+    for (d, w), c in tf.items():
+        score[d] = score.get(d, 0) + c * idf[w]
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+    return ranked
+
+
+def test_tfidf_matches_reference(spark, sf_dir):
+    from prec_spark.session import load_table
+    from prec_spark.text.quality import tfidf_rank
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    got = [(r["doc_id"], r["score"]) for r in tfidf_rank(spark, sf_dir).collect()]
+    assert got == reference_tfidf(docs)
+
+
+def test_tfidf_plan_shape(spark, sf_dir):
+    """Top-K must be TakeOrderedAndProject (no global sort) and the idf
+    dimension must broadcast (no SortMergeJoin)."""
+    from prec_spark.text.quality import tfidf_rank
+
+    plan = tfidf_rank(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
