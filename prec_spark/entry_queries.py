@@ -86,6 +86,8 @@ from .multimodal.media import (
 )
 from .multimodal.video import video_features, video_features_oracle_sql
 from .streaming.events import (
+    events_percentiles,
+    events_percentiles_oracle_sql,
     windowed_value_rollup,
     windowed_value_rollup_oracle_sql,
 )
@@ -857,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_triples": kg_stream_triples,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
+        "events_percentiles": events_percentiles,
     }
 
 
@@ -910,4 +913,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_stream_triples": _kg_triples_oracle(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
+        "events_percentiles": events_percentiles_oracle_sql(),
     }

@@ -78,6 +78,73 @@ GROUP BY 1, 2
 """
 
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, p50/p90/p99_cents) — EXACT discrete
+    percentiles, hash-gateable because both engines spell the same
+    selection rule: rank rows per type by (cents, event_id) and pick
+    rank ((n-1)*q) div 100 + 1.  Interpolating percentile functions
+    differ across engines (and floats don't hash); a pinned discrete
+    rank does.
+
+    Scale notes: one per-type Window sort — exact per-key percentiles
+    fundamentally need a per-key ordering pass.  Event-type
+    cardinality is tiny, so each group is one task's sort; for skewed
+    giant keys switch to a two-pass range-partitioned quantile (or the
+    approx sketch) — this operator is the exact-analytics tier."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(q: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"),
+                F.col("cents"),
+            )
+        ).alias(f"p{q}_cents")
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_events"), pick(50), pick(90), pick(99)
+    )
+
+
+def events_percentiles_oracle_sql() -> str:
+    def pick(q: int) -> str:
+        return (
+            f"MAX(CASE WHEN rn = ((n - 1) * {q}) // 100 + 1 "
+            f"THEN cents END) AS p{q}_cents"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       {pick(50)}, {pick(90)}, {pick(99)}
+FROM r GROUP BY event_type
+"""
+
+
 def run_windowed_counts_stream(
     spark: SparkSession, sf_dir: str, name: str = "events_windowed"
 ) -> DataFrame:
