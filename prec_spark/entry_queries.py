@@ -32,6 +32,8 @@ from .text.mentions import (
     mentions_oracle_sql,
 )
 from .text.quality import (
+    hybrid_rerank,
+    hybrid_rerank_oracle_sql,
     pii_scrub,
     pii_scrub_oracle_sql,
     quality_gopher,
@@ -839,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": quality_gopher,
         "pii_scrub": pii_scrub,
         "tfidf_rank": tfidf_rank,
+        "hybrid_rerank": hybrid_rerank,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -893,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_gopher": quality_gopher_oracle_sql(),
         "pii_scrub": pii_scrub_oracle_sql(),
         "tfidf_rank": tfidf_rank_oracle_sql(),
+        "hybrid_rerank": hybrid_rerank_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_minhash": dedup_minhash_oracle_sql(),
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),

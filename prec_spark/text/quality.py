@@ -216,6 +216,53 @@ LIMIT {TOP_K}
 """
 
 
+def hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, cosine) — the standard two-stage retrieval
+    shape: the integer TF-IDF top-K supplies the LEXICAL candidate set,
+    then each candidate is scored against the query embedding (vector
+    of vec_id 0 — documents and embeddings share the id space) by
+    cosine.  The lexical stage prunes the corpus to K rows before any
+    vector math, so the expensive stage touches K vectors regardless
+    of corpus size — the same candidate-then-verify structure as the
+    dedup families.
+
+    Float discipline: the dot product is the same sequential left fold
+    the ANN queries use (dedup/embedding.dot_col ≡ DuckDB
+    list_inner_product), rounded to 4 dp on both sides."""
+    from ..dedup.embedding import cached_vectors, dot_col
+
+    cands = tfidf_rank(spark, sf_dir)
+    vecs = cached_vectors(spark, sf_dir)
+    qv = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    return (
+        cands.join(vecs, cands["doc_id"] == vecs["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "score",
+            F.round(
+                dot_col(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+
+
+def hybrid_rerank_oracle_sql() -> str:
+    from ..ann.search import _V_CTE
+
+    return f"""
+WITH t AS ({tfidf_rank_oracle_sql()}),
+{_V_CTE.lstrip()},
+q AS (SELECT emb AS qemb, nrm AS qnrm FROM v WHERE vec_id = 0)
+SELECT t.doc_id, t.score,
+       round(list_inner_product(v.emb, q.qemb) / (v.nrm * q.qnrm), 4) AS cosine
+FROM t JOIN v ON t.doc_id = v.vec_id CROSS JOIN q
+"""
+
+
 #: plain character-class regexes — identical semantics under Java's
 #: backtracking engine (Spark) and RE2 (DuckDB): no lookaround, no
 #: backreferences, greedy quantifiers over disjoint classes
