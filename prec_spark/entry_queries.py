@@ -34,6 +34,8 @@ from .text.mentions import (
 from .text.quality import (
     hybrid_rerank,
     hybrid_rerank_oracle_sql,
+    inverted_index,
+    inverted_index_oracle_sql,
     pii_scrub,
     pii_scrub_oracle_sql,
     quality_gopher,
@@ -842,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "tfidf_rank": tfidf_rank,
         "hybrid_rerank": hybrid_rerank,
+        "inverted_index": inverted_index,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -897,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": pii_scrub_oracle_sql(),
         "tfidf_rank": tfidf_rank_oracle_sql(),
         "hybrid_rerank": hybrid_rerank_oracle_sql(),
+        "inverted_index": inverted_index_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_minhash": dedup_minhash_oracle_sql(),
         "dedup_ngram_jaccard": dedup_ngram_oracle_sql(),

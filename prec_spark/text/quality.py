@@ -216,6 +216,31 @@ LIMIT {TOP_K}
 """
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, pos) — the flattened postings-with-positions
+    index a retrieval system builds once and range-partitions by term.
+    Flattened rather than array-valued so every row is a scalar tuple
+    the driver can hash; positions are 0-based token offsets.
+
+    Scale notes: a single posexplode scan, no shuffle at all — the
+    write side would `repartitionByRange("term")` + sort within
+    partitions to lay out postings contiguously; the index itself is
+    embarrassingly parallel to build."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).select("term", "doc_id", "pos")
+
+
+def inverted_index_oracle_sql() -> str:
+    return """
+SELECT unnest(string_split(text, ' ')) AS term,
+       doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+FROM documents
+"""
+
+
 def hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score, cosine) — the standard two-stage retrieval
     shape: the integer TF-IDF top-K supplies the LEXICAL candidate set,
