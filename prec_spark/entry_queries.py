@@ -95,6 +95,12 @@ from .streaming.events import (
     windowed_value_rollup,
     windowed_value_rollup_oracle_sql,
 )
+from .lakehouse import (
+    lakehouse_scan,
+    lakehouse_scan_oracle_sql,
+    lakehouse_time_travel,
+    lakehouse_time_travel_oracle_sql,
+)
 from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
@@ -863,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif": media_gif_features,
         "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
+        "lakehouse_scan": lakehouse_scan,
+        "lakehouse_time_travel": lakehouse_time_travel,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -919,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
         "media_gif": media_gif_oracle_sql(),
         "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
+        "lakehouse_scan": lakehouse_scan_oracle_sql(),
+        "lakehouse_time_travel": lakehouse_time_travel_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),

@@ -1,0 +1,16 @@
+from .table import IceLiteTable, CommitConflict
+from .queries import (
+    lakehouse_scan,
+    lakehouse_scan_oracle_sql,
+    lakehouse_time_travel,
+    lakehouse_time_travel_oracle_sql,
+)
+
+__all__ = [
+    "IceLiteTable",
+    "CommitConflict",
+    "lakehouse_scan",
+    "lakehouse_scan_oracle_sql",
+    "lakehouse_time_travel",
+    "lakehouse_time_travel_oracle_sql",
+]

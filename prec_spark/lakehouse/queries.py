@@ -1,0 +1,143 @@
+"""Driver-gated queries exercising the IceLite lakehouse end-to-end.
+
+The staged table is derived from the deterministic transcripts input
+(one build per process + testdata generation, like the Bolt dump
+staging in entry_queries.py):
+
+  v1  CREATE  partitioned by role
+  v2  APPEND  the even turns   (exactly the role='user' rows)
+  v3  APPEND  the odd turns    (exactly the role='assistant' rows)
+  v4  OVERWRITE the role='user' partition with revised text
+      (" [v2]" suffix) and a NEW column rev=2 (schema evolution)
+
+``lakehouse_scan`` reads the current snapshot through manifest
+planning with a timestamp predicate; ``lakehouse_time_travel`` reads
+snapshots 1..3 (append/append/overwrite) and aggregates each. Both
+have exact DuckDB oracles over the raw transcripts derivation — the
+table format must neither lose, duplicate, nor stale any row for the
+hashes to match.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cached import cached_transcripts
+from ..transcripts import transcripts_oracle_sql
+from .table import IceLiteTable
+
+_TABLES: dict[str, str] = {}
+
+_CUTOFF = datetime.datetime(1995, 6, 1)
+_FINAL_VERSION = 4  # create + append + append + overwrite
+
+
+def _table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the staged IceLite table for this testdata dir."""
+    cached = _TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakehouse_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= _FINAL_VERSION:
+                _TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = cached_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    tbl = IceLiteTable.create(spark, root, t.schema, partition_by=("role",))
+    tbl.append(t.filter(F.col("turn_idx") % 2 == 0))
+    tbl.append(t.filter(F.col("turn_idx") % 2 == 1))
+    tbl.overwrite_partitions(
+        t.filter(F.col("role") == "user")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [v2]")))
+        .withColumn("rev", F.lit(2).cast("int"))
+    )
+    _TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-snapshot scan with manifest predicate planning.
+
+    ``rev`` is null-backfilled for pre-evolution files (proven by the
+    unit tests); the gate output coalesces it to 0 because the driver's
+    row-sort comparator cannot order mixed None/int tuples.
+    """
+    tbl = IceLiteTable(spark, _table_root(spark, sf_dir))
+    df = tbl.scan(predicates=(("ts", ">=", _CUTOFF),))
+    return df.withColumn("rev", F.coalesce(F.col("rev"), F.lit(0)).cast("int"))
+
+
+def lakehouse_scan_oracle_sql() -> str:
+    return f"""
+    WITH t AS ({transcripts_oracle_sql()})
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'user' THEN text || ' [v2]' ELSE text END AS text,
+           tool, ts,
+           CAST(CASE WHEN role = 'user' THEN 2 ELSE 0 END AS INTEGER) AS rev
+    FROM t
+    WHERE ts >= TIMESTAMP '1995-06-01 00:00:00'
+    """
+
+
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot aggregates: snapshot isolation as a value gate."""
+    tbl = IceLiteTable(spark, _table_root(spark, sf_dir))
+    out = None
+    for sid in (1, 2, 3):
+        df = tbl.read(snapshot_id=sid).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+            F.sum("turn_idx").cast("long").alias("sum_turn"),
+            F.sum(F.col("text").endswith(" [v2]").cast("long")).alias("n_edited"),
+        ).select(F.lit(sid).cast("int").alias("snapshot_id"), "*")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def lakehouse_time_travel_oracle_sql() -> str:
+    base = (
+        "SELECT {sid} AS snapshot_id,"
+        " CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        " CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,"
+        " CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,"
+        " CAST({edited} AS BIGINT) AS n_edited"
+        " FROM t{where}"
+    )
+    return (
+        f"WITH t AS ({transcripts_oracle_sql()}) "
+        + base.format(sid="CAST(1 AS INTEGER)", edited="0",
+                      where=" WHERE turn_idx % 2 = 0")
+        + " UNION ALL "
+        + base.format(sid="CAST(2 AS INTEGER)", edited="0", where="")
+        + " UNION ALL "
+        + base.format(
+            sid="CAST(3 AS INTEGER)",
+            edited="SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)",
+            where="",
+        )
+    )

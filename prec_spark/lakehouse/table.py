@@ -1,0 +1,451 @@
+"""IceLite: a from-scratch snapshot/manifest table format (Iceberg-style).
+
+BASELINE.json's north star reads transcripts from "Iceberg-backed"
+tables and materializes triples "into partitioned Iceberg output".
+The sandbox has no Iceberg runtime jar (and no network to fetch one),
+so this module implements the *semantics* that matter at 100 TB from
+scratch, on the same architecture Apache Iceberg uses (spec v2,
+https://iceberg.apache.org/spec/):
+
+* **Metadata tree, not directory listing.** A table is a pointer file
+  (``metadata/version-hint.text``) -> versioned metadata JSON ->
+  per-snapshot manifest listing every data file with its partition
+  value, row count and per-column min/max stats. Planning a scan
+  reads only the manifests — never ``listStatus`` over the data tree,
+  which at 10^12 turns / millions of files is the difference between
+  milliseconds and minutes on S3-like stores.
+* **Snapshot isolation + time travel.** Every commit writes a NEW
+  metadata version holding the full snapshot list; readers pin a
+  snapshot id and see an immutable file set. ``read(snapshot_id=k)``
+  is Iceberg's ``VERSION AS OF``.
+* **Atomic optimistic commits.** Writers stage data files (names are
+  commit-uuid-prefixed so concurrent writers never collide), then
+  swap metadata with an O_EXCL create of ``v{N}.metadata.json`` — the
+  same swap-file-wins protocol as Iceberg's HadoopTableOperations. A
+  loser re-reads the new state, re-merges its manifest, and retries
+  (append never conflicts logically with append).
+* **Scan-time pruning.** ``scan(predicates)`` drops whole files by
+  partition value and min/max stats driver-side, then hands Spark the
+  surviving file list, so the actual columnar scan stays native JVM
+  parquet (+ row-group pushdown inside each file); the residual
+  predicate is re-applied as a DataFrame filter, so pruning is an
+  optimization, never a correctness dependency.
+* **Schema evolution.** Appends may add columns; the union schema is
+  recorded per snapshot and old files read back with nulls for the
+  new columns (parquet-by-name resolution, the Iceberg add-column
+  path).
+
+Partition spec: identity transform over string columns (the shape the
+transcripts pipeline needs — e.g. ``role`` or a conv_id hash bucket
+materialized as a string column). Data files live in Hive-style
+``data/col=value/`` dirs so ``spark.read.parquet`` with ``basePath``
+reconstructs partition columns without them being stored per row.
+
+The reference has no storage layer at all (in-memory RDF store,
+SURVEY.md §2.1); this module is pure scale infrastructure in the
+spirit of its sources/sinks.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic metadata swap loses too many times."""
+
+
+# ---------------------------------------------------------------- helpers
+def _ser_stat(v):
+    """Serialize a parquet stat value into a JSON-safe, comparable form.
+
+    Timestamps/dates become epoch integers so manifest pruning compares
+    them numerically; bytes are dropped (no pruning on binary cols).
+    """
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.toordinal()
+    if isinstance(v, (bytes, bytearray)):
+        return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str) -> tuple[int, dict]:
+    """(row_count, {col: {min, max, nulls}}) from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                stats[name] = None  # unknown -> never prune on it
+                continue
+            lo, hi = _ser_stat(s.min), _ser_stat(s.max)
+            nulls = s.null_count if s.null_count is not None else 0
+            if lo is None or hi is None:
+                stats[name] = None
+                continue
+            cur = stats.get(name)
+            if cur is None and name in stats:
+                continue  # a previous row group already gave up
+            if cur is None:
+                stats[name] = {"min": lo, "max": hi, "nulls": nulls}
+            elif type(cur["min"]) is not type(lo):
+                stats[name] = None  # nested/struct leaves: don't merge
+            else:
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+                cur["nulls"] += nulls
+    return md.num_rows, {k: v for k, v in stats.items() if v is not None}
+
+
+_OPS = {
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _maybe_matches(entry: dict, col: str, op: str, val) -> bool:
+    """Can ANY row of this file satisfy ``col op val``? (conservative)"""
+    part = entry["partition"].get(col)
+    if part is not None:
+        if not isinstance(val, str):
+            return True  # partition values are strings; keep on mismatch
+        return _OPS[op](part, part, val)
+    st = entry["stats"].get(col)
+    if st is None:
+        return True  # no stats -> cannot prune
+    v = _ser_stat(val)
+    if v is None or isinstance(v, str) != isinstance(st["min"], str):
+        return True  # incomparable domains -> keep
+    return _OPS[op](st["min"], st["max"], v)
+
+
+def _predicate_column(spark_col: str, op: str, val):
+    c = F.col(spark_col)
+    if isinstance(val, _dt.datetime):
+        lit = F.lit(val.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    else:
+        lit = F.lit(val)
+    return {"=": c == lit, "<": c < lit, "<=": c <= lit,
+            ">": c > lit, ">=": c >= lit}[op]
+
+
+# ---------------------------------------------------------------- table
+class IceLiteTable:
+    """Handle to an IceLite table rooted at a directory.
+
+    Every operation re-reads the version pointer, so multiple handles
+    (or processes) interleave safely under the optimistic protocol.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        partition_by: tuple[str, ...] = (),
+    ) -> "IceLiteTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        for c in partition_by:
+            f = schema[c]
+            if f.dataType.simpleString() != "string":
+                raise ValueError(
+                    f"identity partition col {c!r} must be string, got "
+                    f"{f.dataType.simpleString()} (hash/truncate transforms "
+                    "are materialized as string columns upstream)"
+                )
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "partition_spec": list(partition_by),
+            "current_snapshot_id": 0,
+            "snapshots": [],
+            "schema": json.loads(schema.json()),
+        }
+        t._write_version(1, meta, {"files": []},
+                         f"snap-1-{uuid.uuid4().hex[:12]}.manifest.json")
+        return t
+
+    # ------------------------------------------------------------ state
+    def _version(self) -> int:
+        with open(os.path.join(self.meta_dir, "version-hint.text")) as fh:
+            return int(fh.read().strip())
+
+    def _meta(self, version: int | None = None) -> dict:
+        v = self._version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            return json.load(fh)
+
+    def _manifest(self, name: str) -> dict:
+        with open(os.path.join(self.meta_dir, name)) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        return self._meta()["snapshots"]
+
+    def current_schema(self) -> StructType:
+        return StructType.fromJson(self._meta()["schema"])
+
+    def _snapshot(self, meta: dict, snapshot_id: int | None) -> dict | None:
+        sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return None
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise ValueError(f"unknown snapshot {sid}")
+
+    # ------------------------------------------------------------ write
+    def _write_version(self, version: int, meta: dict, manifest: dict,
+                       man_name: str) -> None:
+        """O_EXCL metadata swap: create v{N} exclusively, then move the
+        hint. A concurrent winner makes the create raise FileExistsError.
+
+        ``man_name`` must be attempt-unique (uuid-suffixed): two racers
+        targeting the same version otherwise overwrite each other's
+        manifest before the metadata swap decides the winner.
+        """
+        with open(os.path.join(self.meta_dir, man_name + ".tmp"), "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(
+            os.path.join(self.meta_dir, man_name + ".tmp"),
+            os.path.join(self.meta_dir, man_name),
+        )
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        hint_tmp = os.path.join(self.meta_dir, f".hint.{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(version))
+        os.rename(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    def _stage_files(self, df: DataFrame, spec: list[str], schema: StructType) -> list[dict]:
+        """Write df as parquet data files and return manifest entries.
+
+        Files are staged through a scratch dir then renamed into
+        ``data/`` under a commit-unique prefix; stats come from the
+        parquet footers (driver-side, bounded by files-per-commit).
+        """
+        cid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.root, f"tmp-{cid}")
+        out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields
+                         if f.name in df.columns])
+        writer = out.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*spec)
+        # Spark's default INT96 timestamps carry NO parquet min/max stats,
+        # which would silently disable manifest-level time pruning — write
+        # TIMESTAMP_MICROS (Iceberg's required physical type) instead.
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(ts_key)
+        self.spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(staging)
+        finally:
+            self.spark.conf.set(ts_key, prev)
+
+        entries: list[dict] = []
+        i = 0
+        for path in sorted(glob.glob(os.path.join(staging, "**", "*.parquet"),
+                                     recursive=True)):
+            rel_dir = os.path.relpath(os.path.dirname(path), staging)
+            partition = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    k, _, v = piece.partition("=")
+                    partition[k] = v
+            dest_dir = (self.data_dir if rel_dir == "."
+                        else os.path.join(self.data_dir, rel_dir))
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"c{cid}-{i:05d}.parquet")
+            os.rename(path, dest)
+            rows, stats = _file_stats(dest)
+            if rows == 0:
+                os.remove(dest)
+                continue
+            entries.append({
+                "path": os.path.relpath(dest, self.root),
+                "partition": partition,
+                "rows": rows,
+                "stats": stats,
+            })
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _commit(self, new_entries: list[dict], operation: str,
+                replace_partitions: list[dict] | None,
+                df_schema: StructType) -> int:
+        """Optimistic commit loop: merge against the CURRENT manifest,
+        attempt the metadata swap, re-merge on conflict."""
+        for _ in range(20):
+            version = self._version()
+            meta = self._meta(version)
+            snap = self._snapshot(meta, None)
+            base = self._manifest(snap["manifest"])["files"] if snap else []
+            if operation == "overwrite":
+                keep = [e for e in base
+                        if e["partition"] not in (replace_partitions or [])]
+            else:
+                keep = base
+            files = keep + new_entries
+
+            schema = StructType.fromJson(meta["schema"])
+            evolved = StructType(schema.fields + [
+                StructField(f.name, f.dataType, True)
+                for f in df_schema.fields if f.name not in schema.fieldNames()
+            ])
+            for f in df_schema.fields:
+                have = schema[f.name].dataType if f.name in schema.fieldNames() else None
+                if have is not None and have != f.dataType:
+                    raise ValueError(
+                        f"type change for column {f.name!r} not supported: "
+                        f"{have.simpleString()} -> {f.dataType.simpleString()}"
+                    )
+
+            new_version = version + 1
+            sid = (meta["snapshots"][-1]["snapshot_id"] + 1
+                   if meta["snapshots"] else 1)
+            man_name = f"snap-{new_version}-{uuid.uuid4().hex[:12]}.manifest.json"
+            new_meta = dict(meta)
+            new_meta["schema"] = json.loads(evolved.json())
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [{
+                "snapshot_id": sid,
+                "operation": operation,
+                "manifest": man_name,
+                "added_files": len(new_entries),
+                "total_files": len(files),
+                "total_rows": sum(e["rows"] for e in files),
+                "schema": json.loads(evolved.json()),
+            }]
+            hook = getattr(self, "_test_pre_commit", None)
+            if hook is not None:
+                self._test_pre_commit = None
+                hook()
+            try:
+                self._write_version(new_version, new_meta, {"files": files},
+                                    man_name)
+                return sid
+            except FileExistsError:
+                continue  # lost the race: re-read state and re-merge
+        raise CommitConflict(f"gave up after 20 swap attempts at {self.root}")
+
+    def append(self, df: DataFrame) -> int:
+        meta = self._meta()
+        schema = StructType.fromJson(meta["schema"])
+        write_schema = StructType(schema.fields + [
+            f for f in df.schema.fields if f.name not in schema.fieldNames()
+        ])
+        entries = self._stage_files(df, meta["partition_spec"], write_schema)
+        return self._commit(entries, "append", None, df.schema)
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite: replace exactly the partitions
+        present in ``df`` (Iceberg's ``INSERT OVERWRITE`` semantics)."""
+        meta = self._meta()
+        spec = meta["partition_spec"]
+        if not spec:
+            raise ValueError("overwrite_partitions needs a partitioned table")
+        parts = [
+            {k: r[k] for k in spec}
+            for r in df.select(*spec).distinct().collect()
+        ]
+        schema = StructType.fromJson(meta["schema"])
+        write_schema = StructType(schema.fields + [
+            f for f in df.schema.fields if f.name not in schema.fieldNames()
+        ])
+        entries = self._stage_files(df, spec, write_schema)
+        return self._commit(entries, "overwrite", parts, df.schema)
+
+    # ------------------------------------------------------------ read
+    def planned_files(
+        self,
+        predicates: tuple = (),
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Manifest-level scan planning: the surviving file entries.
+
+        ``predicates`` are ``(col, op, value)`` triples, op in
+        ``= < <= > >=`` — the same shape Iceberg's TableScan.filter
+        binds. Pruning is conservative: a file is dropped only when its
+        partition value or min/max stats PROVE the predicate false."""
+        meta = self._meta()
+        snap = self._snapshot(meta, snapshot_id)
+        if snap is None:
+            return []
+        files = self._manifest(snap["manifest"])["files"]
+        for col, op, val in predicates:
+            files = [e for e in files if _maybe_matches(e, col, op, val)]
+        return files
+
+    def _read_files(self, entries: list[dict], schema: StructType) -> DataFrame:
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        df = (
+            self.spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*paths)
+        )
+        return df.select(*[f.name for f in schema.fields])
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """The full table at a snapshot (time travel when pinned)."""
+        meta = self._meta()
+        snap = self._snapshot(meta, snapshot_id)
+        schema = (StructType.fromJson(snap["schema"]) if snap
+                  else StructType.fromJson(meta["schema"]))
+        return self._read_files(
+            self.planned_files((), snapshot_id), schema
+        )
+
+    def scan(
+        self,
+        predicates: tuple = (),
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Pruned scan: manifest file-skipping + residual Spark filter."""
+        df = self._read_files(
+            self.planned_files(predicates, snapshot_id),
+            (StructType.fromJson(self._snapshot(self._meta(), snapshot_id)["schema"])
+             if self._snapshot(self._meta(), snapshot_id) else self.current_schema()),
+        )
+        for col, op, val in predicates:
+            df = df.filter(_predicate_column(col, op, val))
+        return df

@@ -1,0 +1,170 @@
+"""IceLite table format: commits, time travel, pruning, evolution."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from prec_spark.lakehouse import IceLiteTable
+from prec_spark.lakehouse.queries import (
+    lakehouse_scan,
+    lakehouse_scan_oracle_sql,
+    lakehouse_time_travel,
+    lakehouse_time_travel_oracle_sql,
+)
+
+from .conftest import SF_DIR
+from .oracle_util import compare
+
+SCHEMA = StructType(
+    [
+        StructField("k", IntegerType()),
+        StructField("cat", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _rows(spark, ks, cat, day):
+    # coalesce(1): one data file per append, so manifest-granularity
+    # assertions (files planned / rows per file) are deterministic
+    return spark.createDataFrame(
+        [Row(k=k, cat=cat, ts=datetime.datetime(1995, 1, day)) for k in ks],
+        SCHEMA,
+    ).coalesce(1)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return IceLiteTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, partition_by=("cat",)
+    )
+
+
+def test_append_read_roundtrip(spark, tbl):
+    tbl.append(_rows(spark, [1, 2], "a", 1))
+    tbl.append(_rows(spark, [3], "b", 2))
+    got = sorted(r.k for r in tbl.read().collect())
+    assert got == [1, 2, 3]
+    # partition column reconstructed from the Hive-style path
+    cats = dict((r.k, r.cat) for r in tbl.read().collect())
+    assert cats == {1: "a", 2: "a", 3: "b"}
+
+
+def test_time_travel_pins_immutable_snapshots(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "a", 1))
+    tbl.overwrite_partitions(_rows(spark, [9], "a", 3))
+    assert sorted(r.k for r in tbl.read(snapshot_id=1).collect()) == [1]
+    assert sorted(r.k for r in tbl.read(snapshot_id=2).collect()) == [1, 2]
+    assert sorted(r.k for r in tbl.read().collect()) == [9]
+    ops = [s["operation"] for s in tbl.snapshots()]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_overwrite_replaces_only_named_partitions(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "b", 1))
+    tbl.overwrite_partitions(_rows(spark, [7, 8], "b", 2))
+    got = sorted((r.cat, r.k) for r in tbl.read().collect())
+    assert got == [("a", 1), ("b", 7), ("b", 8)]
+
+
+def test_partition_pruning_drops_files(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "b", 1))
+    planned = tbl.planned_files(predicates=(("cat", "=", "a"),))
+    assert len(planned) == 1 and planned[0]["partition"] == {"cat": "a"}
+    assert [r.k for r in tbl.scan(predicates=(("cat", "=", "a"),)).collect()] == [1]
+
+
+def test_stats_pruning_skips_out_of_range_files(spark, tbl):
+    tbl.append(_rows(spark, [1, 2], "a", 1))  # ts = 1995-01-01
+    tbl.append(_rows(spark, [3, 4], "a", 20))  # ts = 1995-01-20
+    cutoff = datetime.datetime(1995, 1, 10)
+    planned = tbl.planned_files(predicates=(("ts", ">=", cutoff),))
+    assert len(planned) == 1 and planned[0]["rows"] == 2
+    # k-range pruning from int min/max stats, same mechanism
+    assert len(tbl.planned_files(predicates=(("k", "<=", 2),))) == 1
+    got = sorted(r.k for r in tbl.scan(predicates=(("ts", ">=", cutoff),)).collect())
+    assert got == [3, 4]
+
+
+def test_residual_filter_is_not_pruning_dependent(spark, tbl):
+    # one file holds k 1..4: no file can be pruned for k<=2, so the
+    # row-level answer must come from the residual Spark filter
+    tbl.append(_rows(spark, [1, 2, 3, 4], "a", 1))
+    assert len(tbl.planned_files(predicates=(("k", "<=", 2),))) == 1
+    assert sorted(r.k for r in tbl.scan(predicates=(("k", "<=", 2),)).collect()) == [1, 2]
+
+
+def test_schema_evolution_adds_column_with_null_backfill(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    evolved = _rows(spark, [2], "a", 2).withColumn("note", F.lit("new"))
+    tbl.append(evolved)
+    got = {r.k: r.note for r in tbl.read().collect()}
+    assert got == {1: None, 2: "new"}
+    # the pre-evolution snapshot still reads with its OWN schema
+    assert "note" not in tbl.read(snapshot_id=1).columns
+    with pytest.raises(ValueError, match="type change"):
+        tbl.append(_rows(spark, [3], "a", 1).withColumn("note", F.lit(5)))
+
+
+def test_optimistic_commit_retries_after_conflict(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    other = IceLiteTable(spark, tbl.root)
+
+    # interleave a competing commit exactly between this writer's
+    # manifest build and its metadata swap: the swap must lose once,
+    # re-merge against the new state, and land BOTH appends
+    tbl._test_pre_commit = lambda: other.append(_rows(spark, [50], "b", 1))
+    tbl.append(_rows(spark, [2], "a", 1))
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2, 50]
+    assert len(tbl.snapshots()) == 3
+
+
+def test_manifest_planning_never_lists_data_dir(spark, tbl, monkeypatch):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "b", 1))
+    import prec_spark.lakehouse.table as m
+
+    def boom(*a, **k):  # pragma: no cover - guard
+        raise AssertionError("scan planning must not list the data tree")
+
+    monkeypatch.setattr(m.glob, "glob", boom)
+    planned = tbl.planned_files(predicates=(("cat", "=", "b"),))
+    assert [e["partition"]["cat"] for e in planned] == ["b"]
+
+
+def test_manifest_stats_are_json_and_typed(spark, tbl):
+    tbl.append(_rows(spark, [5, 6], "a", 3))
+    entry = tbl.planned_files()[0]
+    assert entry["rows"] == 2
+    assert entry["stats"]["k"] == {"min": 5, "max": 6, "nulls": 0}
+    assert isinstance(entry["stats"]["ts"]["min"], int)  # epoch micros
+    json.dumps(entry)  # manifest entries stay JSON-serializable
+
+
+def test_empty_and_fully_pruned_scans(spark, tbl):
+    assert tbl.read().count() == 0
+    tbl.append(_rows(spark, [1], "a", 1))
+    assert tbl.scan(predicates=(("cat", "=", "zzz"),)).count() == 0
+
+
+def test_lakehouse_gate_queries_match_oracle(spark):
+    compare(lakehouse_scan(spark, SF_DIR), lakehouse_scan_oracle_sql(), SF_DIR)
+    compare(
+        lakehouse_time_travel(spark, SF_DIR),
+        lakehouse_time_travel_oracle_sql(),
+        SF_DIR,
+    )
