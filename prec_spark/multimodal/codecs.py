@@ -519,4 +519,6 @@ def sniff_kind(data: bytes) -> str:
         return "audio/wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/avi"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
     return "application/octet-stream"

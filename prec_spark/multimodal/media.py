@@ -42,6 +42,7 @@ from .codecs import (
     encode_wav,
     sniff_kind,
 )
+from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_FEATURE_SCHEMA = (
     "doc_id BIGINT, kind STRING, width INT, height INT, pixel_sum BIGINT, "
@@ -349,4 +350,79 @@ UNION ALL
 SELECT doc_id, 'audio/wav', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT), n_frames, CAST(8000 AS INT), sample_abs_sum
 FROM wav_feat
+"""
+
+
+MEDIA_JPEG_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, "
+    "blocks INT, pix_sum BIGINT"
+)
+
+
+def synth_jpeg_payload(doc_id: int) -> bytes:
+    """Baseline JFIF built from uniform 8x8 tiles: bw=1+id%4 x bh=1+id%3
+    tiles, tile (tx,ty) filled with v=(17*id + 29*tx + 53*ty) % 256.
+
+    Uniform tiles make the lossy codec integer-exact (DC-only blocks,
+    DQT[0]=8 — see jpeg.py docstring) while still exercising the whole
+    real bitstream: Huffman tables, zigzag, byte stuffing and the
+    differential DC chain across blocks in raster order.
+    """
+    bw, bh = 1 + doc_id % 4, 1 + doc_id % 3
+    w, h = 8 * bw, 8 * bh
+    ty, tx = np.mgrid[0:bh, 0:bw]
+    tiles = ((17 * doc_id + 29 * tx + 53 * ty) % 256).astype(np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    return encode_jpeg(w, h, img.tobytes())
+
+
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-codec decode end-to-end: every document gets a REAL baseline
+    JPEG payload (jpeg.py's from-scratch encoder), the extractor sniffs
+    the JFIF magic and entropy-decodes it back (canonical Huffman from
+    the file's own DHT segments, dequant, IDCT).  The oracle predicts
+    the pixel sums from the closed-form tile formula without seeing any
+    bytes — exact because uniform tiles survive quantization losslessly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = synth_jpeg_payload(did)
+                kind = sniff_kind(payload)
+                w, h, gray = decode_jpeg(payload)
+                pix = np.frombuffer(gray, np.uint8).astype(np.int64)
+                rows.append(
+                    (did, kind, w, h, (w // 8) * (h // 8), int(pix.sum()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "width", "height",
+                         "blocks", "pix_sum"],
+            )
+            for c in ("width", "height", "blocks"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return d.mapInPandas(extract, MEDIA_JPEG_SCHEMA)
+
+
+def media_jpeg_oracle_sql() -> str:
+    """Closed-form tile sums (no bytes): 64 pixels per uniform tile."""
+    return """
+WITH img AS (
+  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh FROM documents
+),
+gx AS (SELECT *, unnest(range(0, bw)) AS tx FROM img),
+grid AS (SELECT *, unnest(range(0, bh)) AS ty FROM gx),
+tile AS (
+  SELECT doc_id, bw, bh, (17*doc_id + 29*tx + 53*ty) % 256 AS v FROM grid
+)
+SELECT doc_id, 'image/jpeg' AS kind,
+       CAST(8 * max(bw) AS INT) AS width, CAST(8 * max(bh) AS INT) AS height,
+       CAST(max(bw) * max(bh) AS INT) AS blocks,
+       CAST(64 * sum(v) AS BIGINT) AS pix_sum
+FROM tile GROUP BY doc_id
 """
