@@ -98,6 +98,8 @@ from .streaming.events import (
     windowed_value_rollup_oracle_sql,
 )
 from .lakehouse import (
+    lakehouse_merge,
+    lakehouse_merge_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -874,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_triples": kg_stream_triples,
         "lakehouse_scan": lakehouse_scan,
         "lakehouse_time_travel": lakehouse_time_travel,
+        "lakehouse_merge": lakehouse_merge,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -933,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_stream_triples": _kg_triples_oracle(),
         "lakehouse_scan": lakehouse_scan_oracle_sql(),
         "lakehouse_time_travel": lakehouse_time_travel_oracle_sql(),
+        "lakehouse_merge": lakehouse_merge_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),

@@ -1,5 +1,7 @@
 from .table import IceLiteTable, CommitConflict
 from .queries import (
+    lakehouse_merge,
+    lakehouse_merge_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -9,6 +11,8 @@ from .queries import (
 __all__ = [
     "IceLiteTable",
     "CommitConflict",
+    "lakehouse_merge",
+    "lakehouse_merge_oracle_sql",
     "lakehouse_scan",
     "lakehouse_scan_oracle_sql",
     "lakehouse_time_travel",

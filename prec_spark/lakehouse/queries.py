@@ -80,6 +80,90 @@ def _table_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_MERGE_TABLES: dict[str, str] = {}
+
+
+def _merge_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a table that has been through a copy-on-write MERGE:
+
+      v1 CREATE partitioned by role
+      v2 APPEND all turns
+      v3 MERGE keyed on (conv_id, turn_idx):
+         - UPDATE every turn with turn_idx % 7 == 0 (text gets
+           ' [merged]' appended),
+         - INSERT one synthetic 'system' turn (turn_idx=999) per
+           conversation.
+    """
+    cached = _MERGE_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        key = f"merge|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = "merge|" + sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakemerge_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= 3:
+                _MERGE_TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = cached_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    tbl = IceLiteTable.create(spark, root, t.schema, partition_by=("role",))
+    tbl.append(t)
+    updates = (
+        t.filter(F.col("turn_idx") % 7 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [merged]")))
+    )
+    inserts = t.select("conv_id").distinct().select(
+        "conv_id",
+        F.lit(999).cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"),
+        F.lit("merge-insert").alias("text"),
+        F.lit("merged").alias("tool"),
+        F.lit("2000-01-01 00:00:00").cast(t.schema["ts"].dataType).alias("ts"),
+    )
+    tbl.merge(updates.unionByName(inserts), on=("conv_id", "turn_idx"))
+    _MERGE_TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full post-MERGE table state: updates applied, inserts present,
+    untouched rows byte-identical — any lost/duplicated/stale row (or a
+    rewrite of a file that should not have been touched) breaks the hash."""
+    tbl = IceLiteTable(spark, _merge_table_root(spark, sf_dir))
+    return tbl.read()
+
+
+def lakehouse_merge_oracle_sql() -> str:
+    return f"""
+    WITH t AS ({transcripts_oracle_sql()})
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN turn_idx % 7 = 0 THEN text || ' [merged]' ELSE text END AS text,
+           tool, ts
+    FROM t
+    UNION ALL
+    SELECT DISTINCT conv_id, CAST(999 AS INTEGER) AS turn_idx,
+           'system' AS role, 'merge-insert' AS text, 'merged' AS tool,
+           TIMESTAMP '2000-01-01 00:00:00' AS ts
+    FROM t
+    """
+
+
 def lakehouse_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-snapshot scan with manifest predicate planning.
 

@@ -310,17 +310,32 @@ class IceLiteTable:
 
     def _commit(self, new_entries: list[dict], operation: str,
                 replace_partitions: list[dict] | None,
-                df_schema: StructType) -> int:
+                df_schema: StructType,
+                replace_paths: set[str] | None = None,
+                base_version: int | None = None) -> int:
         """Optimistic commit loop: merge against the CURRENT manifest,
-        attempt the metadata swap, re-merge on conflict."""
+        attempt the metadata swap, re-merge on conflict.
+
+        ``base_version`` pins serializable operations (MERGE/compact):
+        their rewritten files were derived from that exact version, so
+        if anything else committed meanwhile the rewrite is stale and
+        the commit must fail loudly instead of silently re-merging."""
         for _ in range(20):
             version = self._version()
+            if base_version is not None and version != base_version:
+                raise CommitConflict(
+                    f"{operation} planned against v{base_version} but the "
+                    f"table is now at v{version}: rewritten files are stale; "
+                    "re-run the operation against the current snapshot"
+                )
             meta = self._meta(version)
             snap = self._snapshot(meta, None)
             base = self._manifest(snap["manifest"])["files"] if snap else []
             if operation == "overwrite":
                 keep = [e for e in base
                         if e["partition"] not in (replace_partitions or [])]
+            elif replace_paths is not None:
+                keep = [e for e in base if e["path"] not in replace_paths]
             else:
                 keep = base
             files = keep + new_entries
@@ -392,6 +407,64 @@ class IceLiteTable:
         ])
         entries = self._stage_files(df, spec, write_schema)
         return self._commit(entries, "overwrite", parts, df.schema)
+
+    def merge(self, source: DataFrame, on: tuple[str, ...]) -> int:
+        """Copy-on-write MERGE (upsert) keyed on ``on``:
+
+        * target rows whose key appears in ``source`` are replaced by
+          the source row (whole-row update; missing columns -> null),
+        * source rows with unseen keys are inserted,
+        * every other target row is untouched — and so is its FILE:
+          only data files that actually contain a matched key are
+          rewritten, which is what makes row-level updates affordable
+          when a batch touches 0.1% of a 100 TB table.
+
+        Isolation is serializable: the rewrite is planned against the
+        current version, and the commit fails with :class:`CommitConflict`
+        if anything else lands first (a stale rewrite must never win).
+        """
+        if not on:
+            raise ValueError("merge needs at least one key column")
+        version = self._version()
+        meta = self._meta(version)
+        snap = self._snapshot(meta, None)
+        base = self._manifest(snap["manifest"])["files"] if snap else []
+        schema = StructType.fromJson(meta["schema"])
+        keys = list(on)
+        src_keys = source.select(*keys).distinct()
+
+        affected_paths: set[str] = set()
+        write_df = source
+        if base:
+            tagged = self._read_files(base, schema).withColumn(
+                "_file", F.input_file_name()
+            )
+            hit = (
+                tagged.join(src_keys, on=keys, how="leftsemi")
+                .select("_file").distinct().collect()
+            )
+            for r in hit:
+                f = r._file
+                if f.startswith("file:"):
+                    f = f[len("file:"):].lstrip("/")
+                    f = "/" + f  # normalize file:///x/y -> /x/y
+                affected_paths.add(os.path.relpath(f, self.root))
+            affected = [e for e in base if e["path"] in affected_paths]
+            if affected:
+                survivors = self._read_files(affected, schema).join(
+                    src_keys, on=keys, how="left_anti"
+                )
+                write_df = survivors.unionByName(
+                    source, allowMissingColumns=True
+                )
+
+        write_schema = StructType(schema.fields + [
+            f for f in source.schema.fields if f.name not in schema.fieldNames()
+        ])
+        entries = self._stage_files(write_df, meta["partition_spec"], write_schema)
+        return self._commit(entries, "merge", None, source.schema,
+                            replace_paths=affected_paths,
+                            base_version=version)
 
     # ------------------------------------------------------------ read
     def planned_files(

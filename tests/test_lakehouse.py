@@ -15,8 +15,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from prec_spark.lakehouse import IceLiteTable
+from prec_spark.lakehouse import CommitConflict, IceLiteTable
 from prec_spark.lakehouse.queries import (
+    lakehouse_merge,
+    lakehouse_merge_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -161,6 +163,47 @@ def test_empty_and_fully_pruned_scans(spark, tbl):
     assert tbl.scan(predicates=(("cat", "=", "zzz"),)).count() == 0
 
 
+def test_merge_updates_inserts_and_keeps(spark, tbl):
+    tbl.append(_rows(spark, [1, 2], "a", 1))
+    tbl.append(_rows(spark, [5], "b", 1))
+    src = _rows(spark, [2, 9], "a", 7)  # 2 = update, 9 = insert
+    tbl.merge(src, on=("k",))
+    got = sorted((r.k, r.ts.day) for r in tbl.read().collect())
+    assert got == [(1, 1), (2, 7), (5, 1), (9, 7)]
+    assert tbl.snapshots()[-1]["operation"] == "merge"
+
+
+def test_merge_rewrites_only_affected_files(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "b", 1))
+    before = {e["path"] for e in tbl.planned_files()}
+    tbl.merge(_rows(spark, [2], "b", 9), on=("k",))
+    after = {e["path"] for e in tbl.planned_files()}
+    # the 'a' file is byte-identical and still listed; the 'b' file
+    # was rewritten (copy-on-write touches only files holding a match)
+    a_file = next(p for p in before if "cat=a" in p)
+    assert a_file in after
+    assert not any(p in after for p in before if "cat=b" in p)
+
+
+def test_merge_composite_key_and_whole_row_replace(spark, tbl):
+    tbl.append(_rows(spark, [1, 2], "a", 1))
+    src = _rows(spark, [1], "a", 5).withColumn("note", F.lit("patched"))
+    tbl.merge(src, on=("k", "cat"))
+    got = {r.k: (r.ts.day, r.note) for r in tbl.read().collect()}
+    assert got == {1: (5, "patched"), 2: (1, None)}
+
+
+def test_merge_conflict_is_serializable_not_silent(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    other = IceLiteTable(spark, tbl.root)
+    tbl._test_pre_commit = lambda: other.append(_rows(spark, [50], "b", 1))
+    with pytest.raises(CommitConflict, match="stale"):
+        tbl.merge(_rows(spark, [1], "a", 9), on=("k",))
+    # the competing append won; the failed merge changed nothing
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 50]
+
+
 def test_lakehouse_gate_queries_match_oracle(spark):
     compare(lakehouse_scan(spark, SF_DIR), lakehouse_scan_oracle_sql(), SF_DIR)
     compare(
@@ -168,3 +211,4 @@ def test_lakehouse_gate_queries_match_oracle(spark):
         lakehouse_time_travel_oracle_sql(),
         SF_DIR,
     )
+    compare(lakehouse_merge(spark, SF_DIR), lakehouse_merge_oracle_sql(), SF_DIR)
