@@ -100,6 +100,8 @@ from .streaming.events import (
 from .lakehouse import (
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
+    lakehouse_zorder,
+    lakehouse_zorder_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -877,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_scan": lakehouse_scan,
         "lakehouse_time_travel": lakehouse_time_travel,
         "lakehouse_merge": lakehouse_merge,
+        "lakehouse_zorder": lakehouse_zorder,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -937,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_scan": lakehouse_scan_oracle_sql(),
         "lakehouse_time_travel": lakehouse_time_travel_oracle_sql(),
         "lakehouse_merge": lakehouse_merge_oracle_sql(),
+        "lakehouse_zorder": lakehouse_zorder_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),

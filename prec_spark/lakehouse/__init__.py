@@ -1,7 +1,10 @@
 from .table import IceLiteTable, CommitConflict
+from .zorder import zorder_key, zorder_key_sql
 from .queries import (
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
+    lakehouse_zorder,
+    lakehouse_zorder_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -13,6 +16,10 @@ __all__ = [
     "CommitConflict",
     "lakehouse_merge",
     "lakehouse_merge_oracle_sql",
+    "lakehouse_zorder",
+    "lakehouse_zorder_oracle_sql",
+    "zorder_key",
+    "zorder_key_sql",
     "lakehouse_scan",
     "lakehouse_scan_oracle_sql",
     "lakehouse_time_travel",

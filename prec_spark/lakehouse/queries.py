@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..cached import cached_transcripts
 from ..transcripts import transcripts_oracle_sql
 from .table import IceLiteTable
+from .zorder import zorder_key, zorder_key_sql
 
 _TABLES: dict[str, str] = {}
 
@@ -161,6 +162,79 @@ def lakehouse_merge_oracle_sql() -> str:
            'system' AS role, 'merge-insert' AS text, 'merged' AS tool,
            TIMESTAMP '2000-01-01 00:00:00' AS ts
     FROM t
+    """
+
+
+_ZORDER_TABLES: dict[str, str] = {}
+
+#: z-key layout dims: 10 bits each of user_id and cents-mod-1024.
+_Z_BITS = 10
+
+
+def _zorder_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) an UNPARTITIONED events-derived table, then z-order
+    rewrite it on (user_id, cents % 1024) into 8 files."""
+    cached = _ZORDER_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        key = f"zorder|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = "zorder|" + sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakezorder_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= 3:  # create + append + rewrite
+                _ZORDER_TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = (
+        spark.read.parquet(src)
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("user_id"),
+            (F.round(F.col("value") * 100, 0).cast("long") % 1024).alias("cents_lo"),
+        )
+    )
+    tbl = IceLiteTable.create(spark, root, ev.schema)
+    tbl.append(ev)
+    tbl.rewrite_clustered(zorder_key(["user_id", "cents_lo"], _Z_BITS), 8)
+    _ZORDER_TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the z-order-rewritten table with the Morton key: gates
+    both the rewrite (no row lost/duplicated) and the bit-interleave
+    arithmetic (exact integer twin in DuckDB)."""
+    tbl = IceLiteTable(spark, _zorder_table_root(spark, sf_dir))
+    return tbl.read().withColumn(
+        "zkey", zorder_key(["user_id", "cents_lo"], _Z_BITS)
+    )
+
+
+def lakehouse_zorder_oracle_sql() -> str:
+    zexpr = zorder_key_sql(["user_id", "cents_lo"], _Z_BITS)
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+             CAST(round(value * 100) AS BIGINT) % 1024 AS cents_lo
+      FROM events
+    )
+    SELECT event_id, user_id, cents_lo,
+           CAST({zexpr} AS BIGINT) AS zkey
+    FROM base
     """
 
 

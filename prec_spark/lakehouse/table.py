@@ -466,6 +466,34 @@ class IceLiteTable:
                             replace_paths=affected_paths,
                             base_version=version)
 
+    def rewrite_clustered(self, key, num_files: int) -> int:
+        """Replace the current snapshot's files with a layout clustered
+        by ``key`` (a Column expression, e.g. :func:`zorder.zorder_key`):
+        range-partition into ``num_files`` files, sort within each, so
+        per-file min/max stats become tight boxes and scan planning can
+        skip files on every clustered dimension.
+
+        Rows are untouched — this is Iceberg's OPTIMIZE/rewrite_data_files
+        maintenance action. Serializable like merge: fails on concurrent
+        commits instead of replacing files it did not read.
+        """
+        version = self._version()
+        meta = self._meta(version)
+        snap = self._snapshot(meta, None)
+        if snap is None:
+            raise ValueError("cannot rewrite an empty table")
+        base = self._manifest(snap["manifest"])["files"]
+        schema = StructType.fromJson(snap["schema"])
+        ordered = (
+            self._read_files(base, schema)
+            .repartitionByRange(num_files, key)
+            .sortWithinPartitions(key)
+        )
+        entries = self._stage_files(ordered, meta["partition_spec"], schema)
+        return self._commit(entries, "replace", None, schema,
+                            replace_paths={e["path"] for e in base},
+                            base_version=version)
+
     # ------------------------------------------------------------ read
     def planned_files(
         self,

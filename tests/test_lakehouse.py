@@ -15,10 +15,12 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from prec_spark.lakehouse import CommitConflict, IceLiteTable
+from prec_spark.lakehouse import CommitConflict, IceLiteTable, zorder_key
 from prec_spark.lakehouse.queries import (
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
+    lakehouse_zorder,
+    lakehouse_zorder_oracle_sql,
     lakehouse_scan,
     lakehouse_scan_oracle_sql,
     lakehouse_time_travel,
@@ -204,6 +206,40 @@ def test_merge_conflict_is_serializable_not_silent(spark, tbl):
     assert sorted(r.k for r in tbl.read().collect()) == [1, 50]
 
 
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "x long, y long"
+    ).select(zorder_key(["x", "y"], bits=3).alias("z"))
+    # x bits -> even positions (0,2,4), y bits -> odd (1,3,5):
+    # x=101, y=011 => z bits 543210 = 0,1,1,0,1,1
+    assert df.collect()[0].z == 0b011011
+    with pytest.raises(ValueError, match="1..63"):
+        zorder_key(["x", "y"], bits=32)
+
+
+def test_zorder_rewrite_skips_files_linear_cannot(spark, tmp_path):
+    # 32x32 grid written in 8 x-sorted files: a y-band predicate prunes
+    # NOTHING under the linear layout, but prunes most z-curve tiles
+    schema = StructType(
+        [StructField("x", IntegerType()), StructField("y", IntegerType())]
+    )
+    rows = [Row(x=x, y=y) for x in range(32) for y in range(32)]
+    t = IceLiteTable.create(spark, str(tmp_path / "z"), schema)
+    t.append(spark.createDataFrame(rows, schema).repartitionByRange(8, "x"))
+
+    n_before = len(t.planned_files())
+    box = (("y", ">=", 8), ("y", "<=", 11))
+    assert len(t.planned_files(box)) == n_before  # y striped everywhere
+
+    t.rewrite_clustered(zorder_key(["x", "y"], bits=5), 8)
+    planned = t.planned_files(box)
+    assert len(t.planned_files()) == 8
+    assert len(planned) <= 4, [e["stats"]["y"] for e in planned]
+    # and the rewrite lost nothing
+    got = sorted((r.x, r.y) for r in t.scan(box).collect())
+    assert got == [(x, y) for x in range(32) for y in range(8, 12)]
+
+
 def test_lakehouse_gate_queries_match_oracle(spark):
     compare(lakehouse_scan(spark, SF_DIR), lakehouse_scan_oracle_sql(), SF_DIR)
     compare(
@@ -212,3 +248,4 @@ def test_lakehouse_gate_queries_match_oracle(spark):
         SF_DIR,
     )
     compare(lakehouse_merge(spark, SF_DIR), lakehouse_merge_oracle_sql(), SF_DIR)
+    compare(lakehouse_zorder(spark, SF_DIR), lakehouse_zorder_oracle_sql(), SF_DIR)
