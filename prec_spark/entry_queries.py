@@ -85,6 +85,8 @@ from .multimodal.media import (
     media_features_oracle_sql,
     media_gif_features,
     media_gif_oracle_sql,
+    media_adpcm_features,
+    media_adpcm_oracle_sql,
     media_jpeg_features,
     media_jpeg_oracle_sql,
     media_resize_oracle_sql,
@@ -874,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": media_resized_features,
         "media_gif": media_gif_features,
         "media_jpeg": media_jpeg_features,
+        "media_adpcm": media_adpcm_features,
         "media_video": video_features,
         "kg_stream_triples": kg_stream_triples,
         "lakehouse_scan": lakehouse_scan,
@@ -935,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": media_resize_oracle_sql(),
         "media_gif": media_gif_oracle_sql(),
         "media_jpeg": media_jpeg_oracle_sql(),
+        "media_adpcm": media_adpcm_oracle_sql(),
         "media_video": video_features_oracle_sql(),
         "kg_stream_triples": _kg_triples_oracle(),
         "lakehouse_scan": lakehouse_scan_oracle_sql(),

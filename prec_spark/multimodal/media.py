@@ -42,6 +42,8 @@ from .codecs import (
     encode_wav,
     sniff_kind,
 )
+from .adpcm import STEP_TABLE as ADPCM_STEP_TABLE
+from .adpcm import decode_wav_ima, encode_wav_ima
 from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_FEATURE_SCHEMA = (
@@ -425,4 +427,112 @@ SELECT doc_id, 'image/jpeg' AS kind,
        CAST(max(bw) * max(bh) AS INT) AS blocks,
        CAST(64 * sum(v) AS BIGINT) AS pix_sum
 FROM tile GROUP BY doc_id
+"""
+
+
+MEDIA_ADPCM_SCHEMA = (
+    "doc_id BIGINT, kind STRING, n_samples INT, n_blocks INT, "
+    "recon_abs_sum BIGINT"
+)
+
+#: gate corpus block size: small enough that every doc spans MULTIPLE
+#: blocks, so the oracle must replay the per-block state resets too
+ADPCM_BLOCK = 33
+
+
+def synth_adpcm_payload(doc_id: int) -> bytes:
+    """WAV/IMA-ADPCM of n=64+id%32 PCM samples s_i=((31·id+17·i)%4096)−2048."""
+    n = 64 + doc_id % 32
+    i = np.arange(n, dtype=np.int64)
+    pcm = (((31 * doc_id + 17 * i) % 4096) - 2048).astype(np.int16)
+    return encode_wav_ima(8000, pcm, ADPCM_BLOCK)
+
+
+def media_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy AUDIO decode end-to-end: every document gets a real
+    IMA-ADPCM WAV (4-bit adaptive quantization, 4:1), the extractor
+    parses the RIFF chunks and replays the nibble stream back to PCM.
+    The oracle re-derives the reconstruction by REPLAYING the decode
+    recurrence itself in a recursive CTE (step-table join, shift-ladder
+    vpdiff, both clamps, per-block resets) — any single-branch deviation
+    in quantizer or state walk breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = synth_adpcm_payload(did)
+                rate, pcm = decode_wav_ima(payload)
+                assert rate == 8000
+                n = len(pcm)
+                rows.append(
+                    (did, "audio/adpcm", n, -(-n // ADPCM_BLOCK),
+                     int(np.abs(pcm.astype(np.int64)).sum()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_samples", "n_blocks",
+                         "recon_abs_sum"],
+            )
+            for c in ("n_samples", "n_blocks"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return d.mapInPandas(extract, MEDIA_ADPCM_SCHEMA)
+
+
+def media_adpcm_oracle_sql() -> str:
+    """The IMA decode recurrence replayed as SQL (see the prototype in
+    tests/test_adpcm.py for the same recurrence against the codec)."""
+    vals = ", ".join(f"({i}, {v})" for i, v in enumerate(ADPCM_STEP_TABLE))
+    s2 = "(((31*doc_id + 17*(r.i+1)) % 4096) - 2048)"
+    newp = ("CASE WHEN is_reset THEN s2 ELSE GREATEST(-32768, LEAST(32767, "
+            "p + CASE WHEN diff < 0 THEN -vp ELSE vp END)) END")
+    return f"""
+WITH RECURSIVE steps(si, st) AS (VALUES {vals}),
+docs AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+r AS (
+  SELECT doc_id, n, 0 AS i,
+         CAST(((31*doc_id) % 4096) - 2048 AS BIGINT) AS p,
+         0 AS idx,
+         CAST(abs(((31*doc_id) % 4096) - 2048) AS BIGINT) AS acc
+  FROM docs
+  UNION ALL
+  SELECT doc_id, n, i2 AS i,
+         {newp} AS p,
+         CASE WHEN is_reset THEN 0
+              ELSE GREATEST(0, LEAST(88, idx +
+                   CASE WHEN delta < 4 THEN -1 ELSE 2*(delta-3) END)) END AS idx,
+         acc + abs({newp}) AS acc
+  FROM (
+    SELECT *, (st//8) + st*b2 + (st//2)*b1 + (st//4)*b0 AS vp,
+           4*b2 + 2*b1 + b0 AS delta
+    FROM (
+      SELECT *, CASE WHEN d3 >= st//4 THEN 1 ELSE 0 END AS b0
+      FROM (
+        SELECT *, CASE WHEN d2 >= st//2 THEN 1 ELSE 0 END AS b1,
+               d2 - (st//2) * (CASE WHEN d2 >= st//2 THEN 1 ELSE 0 END) AS d3
+        FROM (
+          SELECT *, CASE WHEN ad >= st THEN 1 ELSE 0 END AS b2,
+                 ad - st * (CASE WHEN ad >= st THEN 1 ELSE 0 END) AS d2
+          FROM (
+            SELECT r.*, steps.st, r.i + 1 AS i2,
+                   CAST({s2} AS BIGINT) AS s2,
+                   ((r.i + 1) % {ADPCM_BLOCK} = 0) AS is_reset,
+                   CAST({s2} AS BIGINT) - r.p AS diff,
+                   abs(CAST({s2} AS BIGINT) - r.p) AS ad
+            FROM r JOIN steps ON steps.si = r.idx
+            WHERE r.i + 1 < r.n
+          )
+        )
+      )
+    )
+  )
+)
+SELECT doc_id, 'audio/adpcm' AS kind, CAST(n AS INT) AS n_samples,
+       CAST((n + {ADPCM_BLOCK} - 1) // {ADPCM_BLOCK} AS INT) AS n_blocks,
+       acc AS recon_abs_sum
+FROM r WHERE i = n - 1
 """
