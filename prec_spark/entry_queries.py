@@ -109,6 +109,8 @@ from .lakehouse import (
     lakehouse_time_travel,
     lakehouse_time_travel_oracle_sql,
 )
+from .datasets import dataset_split, dataset_split_oracle_sql
+from .sketches import cms_heavy_hitters, cms_heavy_hitters_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
@@ -883,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_time_travel": lakehouse_time_travel,
         "lakehouse_merge": lakehouse_merge,
         "lakehouse_zorder": lakehouse_zorder,
+        "cms_heavy_hitters": cms_heavy_hitters,
+        "dataset_split": dataset_split,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -945,6 +949,8 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_time_travel": lakehouse_time_travel_oracle_sql(),
         "lakehouse_merge": lakehouse_merge_oracle_sql(),
         "lakehouse_zorder": lakehouse_zorder_oracle_sql(),
+        "cms_heavy_hitters": cms_heavy_hitters_oracle_sql(),
+        "dataset_split": dataset_split_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),

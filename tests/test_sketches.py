@@ -1,0 +1,42 @@
+"""Count-min sketch: over-estimate property, collision behavior, gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prec_spark.sketches import (
+    cms_heavy_hitters,
+    cms_heavy_hitters_oracle_sql,
+    cms_sketch_df,
+)
+from prec_spark.sketches.cms import DEPTH, WIDTH, _tokens
+
+from .conftest import SF_DIR
+from .oracle_util import compare
+
+
+def test_sketch_shape_and_mass(spark):
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "term string"
+    )
+    sk = cms_sketch_df(toks).collect()
+    assert all(0 <= r.j < DEPTH and 0 <= r.bucket < WIDTH for r in sk)
+    # every row of the sketch holds the full token mass
+    per_row = {}
+    for r in sk:
+        per_row[r.j] = per_row.get(r.j, 0) + r.cnt
+    assert per_row == {j: 10 for j in range(DEPTH)}
+
+
+def test_estimates_never_underestimate(spark):
+    got = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(got) > 0
+    assert all(r.cms_est >= r.true_cnt for r in got)
+    # top terms over a modest vocabulary vs WIDTH=1024: most estimates
+    # should be exact; all must be within the CMS epsilon guarantee
+    n_tokens = _tokens(spark, SF_DIR).count()
+    eps_bound = 2 * n_tokens / WIDTH  # 2e/width would be the formal bound
+    assert all(r.cms_est - r.true_cnt <= eps_bound for r in got)
+
+
+def test_cms_gate_matches_oracle(spark):
+    compare(cms_heavy_hitters(spark, SF_DIR), cms_heavy_hitters_oracle_sql(), SF_DIR)
