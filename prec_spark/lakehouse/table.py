@@ -230,21 +230,24 @@ class IceLiteTable:
         raise ValueError(f"unknown snapshot {sid}")
 
     # ------------------------------------------------------------ write
-    def _write_version(self, version: int, meta: dict, manifest: dict,
-                       man_name: str) -> None:
+    def _write_version(self, version: int, meta: dict, manifest: dict | None,
+                       man_name: str | None) -> None:
         """O_EXCL metadata swap: create v{N} exclusively, then move the
         hint. A concurrent winner makes the create raise FileExistsError.
 
         ``man_name`` must be attempt-unique (uuid-suffixed): two racers
         targeting the same version otherwise overwrite each other's
-        manifest before the metadata swap decides the winner.
+        manifest before the metadata swap decides the winner. Pass
+        ``manifest=None`` for metadata-only commits (snapshot expiry),
+        which reuse already-written manifests.
         """
-        with open(os.path.join(self.meta_dir, man_name + ".tmp"), "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(
-            os.path.join(self.meta_dir, man_name + ".tmp"),
-            os.path.join(self.meta_dir, man_name),
-        )
+        if manifest is not None:
+            with open(os.path.join(self.meta_dir, man_name + ".tmp"), "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(
+                os.path.join(self.meta_dir, man_name + ".tmp"),
+                os.path.join(self.meta_dir, man_name),
+            )
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as fh:
@@ -492,6 +495,93 @@ class IceLiteTable:
         entries = self._stage_files(ordered, meta["partition_spec"], schema)
         return self._commit(entries, "replace", None, schema,
                             replace_paths={e["path"] for e in base},
+                            base_version=version)
+
+    # ------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots, delete their
+        manifests, and delete data files no retained snapshot references
+        (Iceberg's expire_snapshots + remove_orphan_files in one pass).
+
+        Time travel to an expired snapshot id then fails loudly — that
+        is the point: expiry is what bounds metadata and storage growth
+        when a table takes thousands of commits a day.
+        """
+        if keep_last < 1:
+            raise ValueError("must keep at least the current snapshot")
+        for _ in range(20):
+            version = self._version()
+            meta = self._meta(version)
+            snaps = meta["snapshots"]
+            if len(snaps) <= keep_last:
+                return {"expired_snapshots": 0, "deleted_files": 0}
+            keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+            live = {
+                e["path"]
+                for s in keep
+                for e in self._manifest(s["manifest"])["files"]
+            }
+            dead_files = {
+                e["path"]
+                for s in drop
+                for e in self._manifest(s["manifest"])["files"]
+            } - live
+            new_meta = dict(meta)
+            new_meta["snapshots"] = keep
+            try:
+                self._write_version(version + 1, new_meta, None, None)
+            except FileExistsError:
+                continue  # a writer landed: recompute liveness and retry
+            # the swap succeeded: physical deletes are now safe (no
+            # retained snapshot references these paths/manifests)
+            for p in dead_files:
+                try:
+                    os.remove(os.path.join(self.root, p))
+                except OSError:
+                    pass
+            for s in drop:
+                try:
+                    os.remove(os.path.join(self.meta_dir, s["manifest"]))
+                except OSError:
+                    pass
+            return {
+                "expired_snapshots": len(drop),
+                "deleted_files": len(dead_files),
+            }
+        raise CommitConflict(f"gave up expiring snapshots at {self.root}")
+
+    def compact_files(self, min_rows: int) -> int | None:
+        """Bin-pack small files: within each partition, files holding
+        fewer than ``min_rows`` rows are read back and rewritten as one
+        file per partition. Streaming ingestion produces a long tail of
+        tiny files; without compaction, scan planning and open() cost
+        grows with commit COUNT instead of data size.
+
+        Returns the new snapshot id, or None if nothing needed packing.
+        """
+        version = self._version()
+        meta = self._meta(version)
+        snap = self._snapshot(meta, None)
+        if snap is None:
+            return None
+        base = self._manifest(snap["manifest"])["files"]
+        by_part: dict[tuple, list[dict]] = {}
+        for e in base:
+            if e["rows"] < min_rows:
+                by_part.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        small = [e for grp in by_part.values() if len(grp) > 1 for e in grp]
+        if not small:
+            return None
+        schema = StructType.fromJson(snap["schema"])
+        spec = meta["partition_spec"]
+        packed = self._read_files(small, schema)
+        # one task per packed partition value -> one output file each;
+        # unpartitioned tables pack into a single file
+        packed = (packed.repartition(len(by_part), *spec) if spec
+                  else packed.coalesce(1))
+        entries = self._stage_files(packed, spec, schema)
+        return self._commit(entries, "replace", None, schema,
+                            replace_paths={e["path"] for e in small},
                             base_version=version)
 
     # ------------------------------------------------------------ read

@@ -240,6 +240,44 @@ def test_zorder_rewrite_skips_files_linear_cannot(spark, tmp_path):
     assert got == [(x, y) for x in range(32) for y in range(8, 12)]
 
 
+def test_compact_packs_small_files_per_partition(spark, tbl):
+    for _ in range(3):
+        tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [9], "b", 1))
+    assert len(tbl.planned_files()) == 4
+    sid = tbl.compact_files(min_rows=10)
+    assert sid is not None
+    planned = tbl.planned_files()
+    # cat=a's three 1-row files packed into one; cat=b alone untouched
+    assert len(planned) == 2
+    assert sorted(e["rows"] for e in planned) == [1, 3]
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 1, 1, 9]
+    assert tbl.compact_files(min_rows=10) is None  # idempotent
+
+
+def test_expire_snapshots_bounds_metadata_and_storage(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.overwrite_partitions(_rows(spark, [2], "a", 2))  # v1 file now dead
+    old_manifest = tbl.snapshots()[0]["manifest"]
+    old_file = tbl._manifest(old_manifest)["files"][0]["path"]
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats == {"expired_snapshots": 1, "deleted_files": 1}
+    assert not os.path.exists(os.path.join(tbl.root, old_file))
+    assert not os.path.exists(os.path.join(tbl.meta_dir, old_manifest))
+    # current snapshot unaffected; expired id now fails loudly
+    assert sorted(r.k for r in tbl.read().collect()) == [2]
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tbl.read(snapshot_id=1)
+
+
+def test_expire_keeps_files_shared_with_retained_snapshots(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.append(_rows(spark, [2], "a", 1))  # snapshot 2 references BOTH files
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["deleted_files"] == 0  # v1's file is still live in v2
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2]
+
+
 def test_lakehouse_gate_queries_match_oracle(spark):
     compare(lakehouse_scan(spark, SF_DIR), lakehouse_scan_oracle_sql(), SF_DIR)
     compare(
