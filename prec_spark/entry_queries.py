@@ -110,6 +110,12 @@ from .lakehouse import (
     lakehouse_time_travel_oracle_sql,
 )
 from .datasets import dataset_split, dataset_split_oracle_sql
+from .joins import (
+    events_asof_join,
+    events_asof_join_oracle_sql,
+    events_range_join,
+    events_range_join_oracle_sql,
+)
 from .sketches import cms_heavy_hitters, cms_heavy_hitters_oracle_sql
 from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
@@ -887,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_zorder": lakehouse_zorder,
         "cms_heavy_hitters": cms_heavy_hitters,
         "dataset_split": dataset_split,
+        "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -951,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_zorder": lakehouse_zorder_oracle_sql(),
         "cms_heavy_hitters": cms_heavy_hitters_oracle_sql(),
         "dataset_split": dataset_split_oracle_sql(),
+        "events_asof_join": events_asof_join_oracle_sql(),
+        "events_range_join": events_range_join_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),
