@@ -110,6 +110,7 @@ from .lakehouse import (
     lakehouse_time_travel_oracle_sql,
 )
 from .datasets import dataset_split, dataset_split_oracle_sql
+from .text.curation import pretrain_filter, pretrain_filter_oracle_sql
 from .text.decontaminate import decontaminate, decontaminate_oracle_sql
 from .joins import (
     events_asof_join,
@@ -897,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "decontaminate": decontaminate,
+        "pretrain_filter": pretrain_filter,
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
@@ -964,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": events_asof_join_oracle_sql(),
         "events_range_join": events_range_join_oracle_sql(),
         "decontaminate": decontaminate_oracle_sql(),
+        "pretrain_filter": pretrain_filter_oracle_sql(),
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),
