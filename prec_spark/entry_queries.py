@@ -100,6 +100,8 @@ from .streaming.events import (
     windowed_value_rollup_oracle_sql,
 )
 from .lakehouse import (
+    lakehouse_incremental,
+    lakehouse_incremental_oracle_sql,
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
     lakehouse_zorder,
@@ -892,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_scan": lakehouse_scan,
         "lakehouse_time_travel": lakehouse_time_travel,
         "lakehouse_merge": lakehouse_merge,
+        "lakehouse_incremental": lakehouse_incremental,
         "lakehouse_zorder": lakehouse_zorder,
         "cms_heavy_hitters": cms_heavy_hitters,
         "dataset_split": dataset_split,
@@ -960,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_scan": lakehouse_scan_oracle_sql(),
         "lakehouse_time_travel": lakehouse_time_travel_oracle_sql(),
         "lakehouse_merge": lakehouse_merge_oracle_sql(),
+        "lakehouse_incremental": lakehouse_incremental_oracle_sql(),
         "lakehouse_zorder": lakehouse_zorder_oracle_sql(),
         "cms_heavy_hitters": cms_heavy_hitters_oracle_sql(),
         "dataset_split": dataset_split_oracle_sql(),

@@ -1,6 +1,8 @@
 from .table import IceLiteTable, CommitConflict
 from .zorder import zorder_key, zorder_key_sql
 from .queries import (
+    lakehouse_incremental,
+    lakehouse_incremental_oracle_sql,
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
     lakehouse_zorder,
@@ -14,6 +16,8 @@ from .queries import (
 __all__ = [
     "IceLiteTable",
     "CommitConflict",
+    "lakehouse_incremental",
+    "lakehouse_incremental_oracle_sql",
     "lakehouse_merge",
     "lakehouse_merge_oracle_sql",
     "lakehouse_zorder",

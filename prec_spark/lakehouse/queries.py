@@ -262,6 +262,22 @@ def lakehouse_scan_oracle_sql() -> str:
     """
 
 
+def lakehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan of snapshot 1 -> 2 on the staged table:
+    exactly the second append (the odd turns), never the whole table —
+    the delta a daily training-data refresh consumes."""
+    tbl = IceLiteTable(spark, _table_root(spark, sf_dir))
+    return tbl.read_incremental(1, 2)
+
+
+def lakehouse_incremental_oracle_sql() -> str:
+    return f"""
+    WITH t AS ({transcripts_oracle_sql()})
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM t WHERE turn_idx % 2 = 1
+    """
+
+
 def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-snapshot aggregates: snapshot isolation as a value gate."""
     tbl = IceLiteTable(spark, _table_root(spark, sf_dir))

@@ -616,6 +616,37 @@ class IceLiteTable:
         )
         return df.select(*[f.name for f in schema.fields])
 
+    def read_incremental(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive/inclusive): the
+        files present in ``to``'s manifest but not ``from``'s — Iceberg's
+        incremental append scan, the shape a daily training-data refresh
+        consumes (process only what arrived, never rescan the table).
+
+        Valid only over append-only history: if ``to`` dropped any of
+        ``from``'s files (overwrite/merge/replace happened between),
+        added-files-only would misrepresent the delta, so this raises.
+        """
+        meta = self._meta()
+        from_snap = self._snapshot(meta, from_snapshot)
+        to_snap = self._snapshot(meta, to_snapshot)
+        if to_snap is None:
+            raise ValueError("to_snapshot must be a real snapshot")
+        from_files = (
+            {e["path"] for e in self._manifest(from_snap["manifest"])["files"]}
+            if from_snap else set()
+        )
+        to_entries = self._manifest(to_snap["manifest"])["files"]
+        to_files = {e["path"] for e in to_entries}
+        if from_files - to_files:
+            raise ValueError(
+                "non-append history between snapshots "
+                f"{from_snapshot}..{to_snapshot}: "
+                f"{len(from_files - to_files)} file(s) were replaced/removed; "
+                "incremental append scan would misrepresent the delta"
+            )
+        added = [e for e in to_entries if e["path"] not in from_files]
+        return self._read_files(added, StructType.fromJson(to_snap["schema"]))
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """The full table at a snapshot (time travel when pinned)."""
         meta = self._meta()

@@ -17,6 +17,8 @@ from pyspark.sql.types import (
 
 from prec_spark.lakehouse import CommitConflict, IceLiteTable, zorder_key
 from prec_spark.lakehouse.queries import (
+    lakehouse_incremental,
+    lakehouse_incremental_oracle_sql,
     lakehouse_merge,
     lakehouse_merge_oracle_sql,
     lakehouse_zorder,
@@ -278,6 +280,22 @@ def test_expire_keeps_files_shared_with_retained_snapshots(spark, tbl):
     assert sorted(r.k for r in tbl.read().collect()) == [1, 2]
 
 
+def test_incremental_read_returns_only_the_delta(spark, tbl):
+    tbl.append(_rows(spark, [1, 2], "a", 1))
+    tbl.append(_rows(spark, [3], "b", 2))
+    tbl.append(_rows(spark, [4], "a", 3))
+    assert sorted(r.k for r in tbl.read_incremental(1, 2).collect()) == [3]
+    assert sorted(r.k for r in tbl.read_incremental(1, 3).collect()) == [3, 4]
+    assert sorted(r.k for r in tbl.read_incremental(0, 1).collect()) == [1, 2]
+
+
+def test_incremental_read_refuses_non_append_history(spark, tbl):
+    tbl.append(_rows(spark, [1], "a", 1))
+    tbl.overwrite_partitions(_rows(spark, [9], "a", 2))
+    with pytest.raises(ValueError, match="non-append history"):
+        tbl.read_incremental(1, 2)
+
+
 def test_lakehouse_gate_queries_match_oracle(spark):
     compare(lakehouse_scan(spark, SF_DIR), lakehouse_scan_oracle_sql(), SF_DIR)
     compare(
@@ -287,3 +305,8 @@ def test_lakehouse_gate_queries_match_oracle(spark):
     )
     compare(lakehouse_merge(spark, SF_DIR), lakehouse_merge_oracle_sql(), SF_DIR)
     compare(lakehouse_zorder(spark, SF_DIR), lakehouse_zorder_oracle_sql(), SF_DIR)
+    compare(
+        lakehouse_incremental(spark, SF_DIR),
+        lakehouse_incremental_oracle_sql(),
+        SF_DIR,
+    )
