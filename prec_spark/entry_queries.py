@@ -120,7 +120,12 @@ from .joins import (
     events_range_join,
     events_range_join_oracle_sql,
 )
-from .sketches import cms_heavy_hitters, cms_heavy_hitters_oracle_sql
+from .sketches import (
+    cms_heavy_hitters,
+    cms_heavy_hitters_oracle_sql,
+    hll_registers,
+    hll_registers_oracle_sql,
+)
 from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
@@ -897,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_incremental": lakehouse_incremental,
         "lakehouse_zorder": lakehouse_zorder,
         "cms_heavy_hitters": cms_heavy_hitters,
+        "hll_registers": hll_registers,
         "dataset_split": dataset_split,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
@@ -966,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_incremental": lakehouse_incremental_oracle_sql(),
         "lakehouse_zorder": lakehouse_zorder_oracle_sql(),
         "cms_heavy_hitters": cms_heavy_hitters_oracle_sql(),
+        "hll_registers": hll_registers_oracle_sql(),
         "dataset_split": dataset_split_oracle_sql(),
         "events_asof_join": events_asof_join_oracle_sql(),
         "events_range_join": events_range_join_oracle_sql(),

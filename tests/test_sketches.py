@@ -40,3 +40,39 @@ def test_estimates_never_underestimate(spark):
 
 def test_cms_gate_matches_oracle(spark):
     compare(cms_heavy_hitters(spark, SF_DIR), cms_heavy_hitters_oracle_sql(), SF_DIR)
+
+
+def test_hll_rank_matches_python_reference(spark):
+    import hashlib
+
+    from prec_spark.sketches.hll import hll_registers
+
+    # independent python replay of bucket/rank over the real vocabulary
+    terms = set()
+    for r in _tokens(spark, SF_DIR).distinct().collect():
+        terms.add(r.term)
+    expect = {}
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:8], 16)
+        rank = 25 if w == 0 else 24 - w.bit_length() + 1
+        expect[bucket] = max(expect.get(bucket, 0), rank)
+    got = {r.bucket: r.register for r in hll_registers(spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from prec_spark.sketches.hll import hll_estimate, hll_registers
+
+    regs = {r.bucket: r.register for r in hll_registers(spark, SF_DIR).collect()}
+    true = _tokens(spark, SF_DIR).distinct().count()
+    est = hll_estimate(regs)
+    # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+    assert abs(est - true) / true < 0.20, (est, true)
+
+
+def test_hll_gate_matches_oracle(spark):
+    from prec_spark.sketches.hll import hll_registers, hll_registers_oracle_sql
+
+    compare(hll_registers(spark, SF_DIR), hll_registers_oracle_sql(), SF_DIR)
