@@ -43,6 +43,7 @@ from .text.quality import (
     tfidf_rank,
     tfidf_rank_oracle_sql,
 )
+from .incremental import kg_incremental, kg_incremental_oracle_sql
 from .transcripts import transcripts_df, transcripts_oracle_sql
 from .text.analysis import (
     doc_fingerprint,
@@ -911,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": sessionize_batch,
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
+        "kg_incremental": kg_incremental,
     }
 
 
@@ -981,4 +983,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": sessionize_oracle_sql(),
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),
+        "kg_incremental": kg_incremental_oracle_sql(),
     }

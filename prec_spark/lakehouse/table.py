@@ -647,6 +647,43 @@ class IceLiteTable:
         added = [e for e in to_entries if e["path"] not in from_files]
         return self._read_files(added, StructType.fromJson(to_snap["schema"]))
 
+    def read_changes(
+        self, from_snapshot: int, to_snapshot: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """Coarse changelog scan between two snapshots: ``(added,
+        removed)`` row DataFrames from the file-level manifest diff.
+
+        Unlike :meth:`read_incremental` this accepts non-append history
+        (overwrite / merge / rewrite): a rewritten data file shows up
+        with ALL its rows on both sides, which is the conservative
+        superset an incremental maintenance job needs — recompute every
+        key that MIGHT have changed, never miss one. This is what an
+        Iceberg consumer gets from a changelog scan when no row-level
+        delete vectors exist. The ``removed`` side reads files dropped
+        from the ``from`` manifest, so it is only available while those
+        snapshots are retained (i.e. before ``expire_snapshots`` prunes
+        them) — same retention contract as Iceberg's changelog."""
+        meta = self._meta()
+        from_snap = self._snapshot(meta, from_snapshot)
+        to_snap = self._snapshot(meta, to_snapshot)
+        if to_snap is None:
+            raise ValueError("to_snapshot must be a real snapshot")
+        from_entries = (
+            self._manifest(from_snap["manifest"])["files"] if from_snap else []
+        )
+        to_entries = self._manifest(to_snap["manifest"])["files"]
+        from_paths = {e["path"] for e in from_entries}
+        to_paths = {e["path"] for e in to_entries}
+        added = [e for e in to_entries if e["path"] not in from_paths]
+        removed = [e for e in from_entries if e["path"] not in to_paths]
+        from_schema = StructType.fromJson(
+            from_snap["schema"] if from_snap else to_snap["schema"]
+        )
+        return (
+            self._read_files(added, StructType.fromJson(to_snap["schema"])),
+            self._read_files(removed, from_schema),
+        )
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """The full table at a snapshot (time travel when pinned)."""
         meta = self._meta()
