@@ -131,6 +131,7 @@ from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
+from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
     cc_graph,
@@ -815,6 +816,19 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     return ids, iund
 
 
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the KG instance graph (see
+    plans/triangles.py: degree-oriented wedge join, hub-safe by
+    construction); shares the session-cached symmetric edge list with
+    kg_components/kg_bfs."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return triangle_counts_from_und(und)
+
+
 def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the KG instance graph (see
     plans/components.py): conversation clusters merged only through
@@ -913,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": windowed_value_rollup,
         "events_percentiles": events_percentiles,
         "kg_incremental": kg_incremental,
+        "kg_triangles": _kg_triangles,
     }
 
 
@@ -984,4 +999,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": windowed_value_rollup_oracle_sql(),
         "events_percentiles": events_percentiles_oracle_sql(),
         "kg_incremental": kg_incremental_oracle_sql(),
+        "kg_triangles": triangles_oracle_sql(_kg_triples_oracle()),
     }

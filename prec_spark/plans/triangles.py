@@ -1,0 +1,123 @@
+"""Degree-oriented triangle counting over the KG instance graph.
+
+Per-node triangle participation is the classic local-clustering signal
+(community detection, spam/bot filtering on conversation graphs), and
+the textbook skew trap: enumerating wedges from every node explodes on
+hubs (a conversation node touches every turn; a popular tool touches
+millions). The fix is Cohen's degree orientation: direct each
+undirected edge {a, b} from the smaller to the larger endpoint under
+the total order (degree, node), then
+
+    wedge  (a->b, a->c) with b <o c   — enumerated at the LOW end only
+    triangle iff the closing edge b->c exists (it is oriented b->c
+    because <o is total)
+
+Every triangle is counted exactly once, and the wedge fanout per node
+is bounded by its ORIENTED out-degree, which is O(sqrt(|E|)) on any
+graph (arboricity bound) — hubs never fan out, they only close
+wedges. On the transcript KG the hubs are conversation/tool/entity
+nodes; the wedge centers are turn nodes of degree ~5, so the plan is
+two hash joins over the edge list, no salting needed BECAUSE of the
+orientation.
+
+The DuckDB oracle replays the identical orientation and joins
+(string order is byte-lexicographic in both engines — already relied
+on by the components min-label oracle), so the per-node counts
+hash-match exactly.
+
+No reference counterpart (PREC materializes graphs, it does not
+analyze them); built per the brief's graph-analytics mandate alongside
+plans/pagerank.py and plans/components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import cc_graph, graph_ctes, instance_edges
+
+
+def oriented_edges(und: DataFrame) -> DataFrame:
+    """(src, dst, ddst): each undirected edge once, low -> high under
+    (degree, node); ddst carries the head's degree for the wedge
+    ordering. ``und`` must be the symmetric distinct edge list."""
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
+    return (
+        und.join(ds, "src")
+        .join(dd, "dst")
+        .filter(
+            (F.col("dsrc") < F.col("ddst"))
+            | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst", "ddst")
+    )
+
+
+def triangle_counts(triples: DataFrame) -> DataFrame:
+    """(node, n_tri): triangle participation per node, nodes in >= 1
+    triangle only. Exact, each triangle counted once."""
+    und, _nodes = cc_graph(instance_edges(triples))
+    return triangle_counts_from_und(und)
+
+
+def triangle_counts_from_und(und: DataFrame) -> DataFrame:
+    """Same, from a prebuilt symmetric distinct edge list (lets the
+    entry query share the session-cached graph with components/BFS)."""
+    e = oriented_edges(und).localCheckpoint()  # read 3x (wedge x2 + close)
+    e1 = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("ddst").alias("db"),
+    )
+    e2 = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("ddst").alias("dc"),
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
+def triangles_oracle_sql(triples_sql: str) -> str:
+    """The identical orientation + wedge-close in DuckDB SQL."""
+    return f"""
+WITH {graph_ctes(triples_sql)},
+deg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
+),
+e AS MATERIALIZED (
+  SELECT u.src, u.dst, dd.deg AS ddst
+  FROM und u
+  JOIN deg ds ON u.src = ds.node
+  JOIN deg dd ON u.dst = dd.node
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+),
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.src = e2.src
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) corners
+GROUP BY node
+"""
