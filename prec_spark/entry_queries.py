@@ -40,6 +40,8 @@ from .text.quality import (
     pii_scrub_oracle_sql,
     quality_gopher,
     quality_gopher_oracle_sql,
+    quality_repetition,
+    quality_repetition_oracle_sql,
     tfidf_rank,
     tfidf_rank_oracle_sql,
 )
@@ -928,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": events_percentiles,
         "kg_incremental": kg_incremental,
         "kg_triangles": _kg_triangles,
+        "quality_repetition": quality_repetition,
     }
 
 
@@ -1000,4 +1003,5 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": events_percentiles_oracle_sql(),
         "kg_incremental": kg_incremental_oracle_sql(),
         "kg_triangles": triangles_oracle_sql(_kg_triples_oracle()),
+        "quality_repetition": quality_repetition_oracle_sql(),
     }

@@ -335,3 +335,148 @@ SELECT doc_id,
        text || ' email <EMAIL> not-pii a@b call <PHONE>' AS scrubbed
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition battery (§A1.1 of the Gopher paper): top n-gram and
+# duplicated n-gram character coverage
+# --------------------------------------------------------------------------
+
+#: max % of token chars the most frequent n-gram may cover (n: pct)
+REP_TOP = {2: 20, 3: 18, 4: 16}
+#: max % of token chars duplicated n-grams may cover (n: pct)
+REP_DUP = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+#: (count, coverage) packed into one BIGINT so the per-doc argmax is a
+#: plain MAX in both engines: key = cnt * _REP_KEY + cnt*gram_chars.
+#: Valid while cnt*gram_chars < _REP_KEY (coverage is bounded by
+#: cnt * doc length; raise the radix for multi-MB documents).
+_REP_KEY = 1_000_000
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tchars, top{2,3,4}_cnt/_cov, dup{5..10}_cov, keep):
+    the Gopher repetition signals, integer-exact so the whole row
+    hash-matches DuckDB.
+
+    * ``top{n}_cov`` — characters covered by all occurrences of the
+      MOST FREQUENT word n-gram (count ties resolved toward larger
+      coverage, deterministically, via the packed-key max).
+    * ``dup{n}_cov`` — characters covered by every occurrence of every
+      n-gram that occurs more than once (overlaps double-counted — the
+      standard cheap variant used by public curation pipelines).
+    * ``keep`` — all nine signals under the Gopher thresholds,
+      compared in integers (100*cov <= pct*tchars; no floats).
+
+    Scale shape: one explode per n over the tokenized corpus, ONE
+    shuffle to count (doc, n, gram) and ONE to fold per (doc, n) —
+    the pivot to columns is a no-shuffle projection of the same
+    aggregate. Gram strings never leave the count aggregation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.length("text") - (F.size(F.split("text", " ")) - F.lit(1)))
+        .cast("long")
+        .alias("tchars"),
+    )
+    base = d.localCheckpoint()  # read by 9 explode branches + final join
+
+    branches = []
+    for n in sorted(REP_TOP) + sorted(REP_DUP):
+        grams = F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> array_join(slice(w, i + 1, {n}), ' ')) "
+            "ELSE slice(w, 1, 0) END"
+        )
+        branches.append(
+            base.select(
+                "doc_id", F.lit(n).alias("n"), F.explode(grams).alias("gram")
+            )
+        )
+    g = branches[0]
+    for b in branches[1:]:
+        g = g.unionAll(b)
+
+    cnt = F.col("cnt")
+    cov = cnt * (F.length("gram") - (F.col("n") - F.lit(1)))
+    pern = (
+        g.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(cnt * _REP_KEY + cov).alias("mk"),
+            F.sum(F.when(cnt >= 2, cov)).alias("dc"),
+        )
+    )
+    piv = pern.groupBy("doc_id").pivot(
+        "n", sorted(REP_TOP) + sorted(REP_DUP)
+    ).agg(F.max("mk").alias("mk"), F.max("dc").alias("dc"))
+
+    out = base.select("doc_id", "tchars").join(piv, "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("tchars")]
+    conds = []
+    for n, pct in sorted(REP_TOP.items()):
+        mk = F.coalesce(F.col(f"{n}_mk"), F.lit(0))
+        cols.append((mk / _REP_KEY).cast("long").alias(f"top{n}_cnt"))
+        cov_c = (mk % _REP_KEY).cast("long")
+        cols.append(cov_c.alias(f"top{n}_cov"))
+        conds.append(cov_c * 100 <= F.lit(pct) * F.col("tchars"))
+    for n, pct in sorted(REP_DUP.items()):
+        dc = F.coalesce(F.col(f"{n}_dc"), F.lit(0)).cast("long")
+        cols.append(dc.alias(f"dup{n}_cov"))
+        conds.append(dc * 100 <= F.lit(pct) * F.col("tchars"))
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)
+
+
+def quality_repetition_oracle_sql() -> str:
+    ns = sorted(REP_TOP) + sorted(REP_DUP)
+    ns_sql = ", ".join(str(n) for n in ns)
+    sel = ["d.doc_id", "d.tchars"]
+    conds = []
+    for n, pct in sorted(REP_TOP.items()):
+        mk = f"COALESCE(MAX(CASE WHEN n = {n} THEN mk END), 0)"
+        sel.append(f"CAST({mk} // {_REP_KEY} AS BIGINT) AS top{n}_cnt")
+        sel.append(f"CAST({mk} % {_REP_KEY} AS BIGINT) AS top{n}_cov")
+        conds.append(f"({mk} % {_REP_KEY}) * 100 <= {pct} * d.tchars")
+    for n, pct in sorted(REP_DUP.items()):
+        dc = f"COALESCE(MAX(CASE WHEN n = {n} THEN dc END), 0)"
+        sel.append(f"CAST({dc} AS BIGINT) AS dup{n}_cov")
+        conds.append(f"{dc} * 100 <= {pct} * d.tchars")
+    keep = " AND ".join(conds)
+    sel_sql = ",\n       ".join(sel)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+           AS tchars
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(w, i, i + n - 1), ' ') AS gram
+  FROM (
+    SELECT doc_id, w, n, unnest(range(1, len(w) - n + 2)) AS i
+    FROM d, (SELECT unnest([{ns_sql}]) AS n) ns
+    WHERE len(w) >= n
+  ) q
+),
+c AS (
+  SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, n, gram
+),
+p AS (
+  SELECT doc_id, n,
+         MAX(cnt * {_REP_KEY} + cnt * (length(gram) - (n - 1))) AS mk,
+         SUM(CASE WHEN cnt >= 2
+                  THEN cnt * (length(gram) - (n - 1)) END) AS dc
+  FROM c GROUP BY doc_id, n
+)
+SELECT {sel_sql},
+       ({keep}) AS keep
+FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id, d.tchars
+"""

@@ -193,3 +193,70 @@ def test_tfidf_plan_shape(spark, sf_dir):
     plan = tfidf_rank(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_repetition_matches_python_reference(spark, sf_dir):
+    """Every signal of the Gopher repetition battery, recomputed in
+    plain Python per document, must match the Spark output exactly
+    (including the packed-key count-tie resolution and the verdict)."""
+    from collections import Counter
+
+    from prec_spark.session import load_table
+    from prec_spark.text.quality import (
+        REP_DUP,
+        REP_TOP,
+        _REP_KEY,
+        quality_repetition,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r.doc_id: r for r in quality_repetition(spark, sf_dir).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        w = text.split(" ")
+        tchars = len(text) - (len(w) - 1)
+        row = got[doc_id]
+        assert row.tchars == tchars
+        conds = []
+        for n in sorted(REP_TOP) + sorted(REP_DUP):
+            grams = (
+                [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+                if len(w) >= n
+                else []
+            )
+            c = Counter(grams)
+            mk = max(
+                (
+                    cnt * _REP_KEY + cnt * (len(g) - (n - 1))
+                    for g, cnt in c.items()
+                ),
+                default=0,
+            )
+            dc = sum(
+                cnt * (len(g) - (n - 1)) for g, cnt in c.items() if cnt >= 2
+            )
+            if n in REP_TOP:
+                assert row[f"top{n}_cnt"] == mk // _REP_KEY, (doc_id, n)
+                assert row[f"top{n}_cov"] == mk % _REP_KEY, (doc_id, n)
+                conds.append((mk % _REP_KEY) * 100 <= REP_TOP[n] * tchars)
+            else:
+                assert row[f"dup{n}_cov"] == dc, (doc_id, n)
+                conds.append(dc * 100 <= REP_DUP[n] * tchars)
+        assert row.keep == all(conds), doc_id
+    # the battery must discriminate on this corpus
+    keeps = {r.keep for r in got.values()}
+    assert keeps == {True, False}, keeps
+
+
+def test_quality_repetition_oracle(spark, sf_dir):
+    from prec_spark.text.quality import (
+        quality_repetition,
+        quality_repetition_oracle_sql,
+    )
+
+    from .oracle_util import compare
+
+    compare(quality_repetition(spark, sf_dir), quality_repetition_oracle_sql(), sf_dir)
