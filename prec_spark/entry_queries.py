@@ -103,6 +103,8 @@ from .streaming.events import (
     windowed_value_rollup_oracle_sql,
 )
 from .lakehouse import (
+    lakehouse_delete,
+    lakehouse_delete_oracle_sql,
     lakehouse_incremental,
     lakehouse_incremental_oracle_sql,
     lakehouse_merge,
@@ -931,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": kg_incremental,
         "kg_triangles": _kg_triangles,
         "quality_repetition": quality_repetition,
+        "lakehouse_delete": lakehouse_delete,
     }
 
 
@@ -1004,4 +1007,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": kg_incremental_oracle_sql(),
         "kg_triangles": triangles_oracle_sql(_kg_triples_oracle()),
         "quality_repetition": quality_repetition_oracle_sql(),
+        "lakehouse_delete": lakehouse_delete_oracle_sql(),
     }

@@ -1,6 +1,8 @@
 from .table import IceLiteTable, CommitConflict
 from .zorder import zorder_key, zorder_key_sql
 from .queries import (
+    lakehouse_delete,
+    lakehouse_delete_oracle_sql,
     lakehouse_incremental,
     lakehouse_incremental_oracle_sql,
     lakehouse_merge,

@@ -315,3 +315,72 @@ def lakehouse_time_travel_oracle_sql() -> str:
             where="",
         )
     )
+
+
+_DELETE_TABLES: dict[str, str] = {}
+
+
+def _delete_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a table that has been through two MERGE-ON-READ
+    position deletes (no data file rewritten):
+
+      v1 CREATE unpartitioned
+      v2 APPEND all turns
+      v3 DELETE WHERE role = 'assistant' AND turn_idx % 3 = 0
+      v4 DELETE WHERE tool IS NOT NULL AND turn_idx % 4 = 1
+         (accumulating a second delete file on the same data files)
+    """
+    cached = _DELETE_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        key = f"del|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = "del|" + sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakedel_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= 4:
+                _DELETE_TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = cached_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    tbl = IceLiteTable.create(spark, root, t.schema)
+    tbl.append(t)
+    tbl.delete_where(
+        (F.col("role") == "assistant") & (F.col("turn_idx") % 3 == 0)
+    )
+    tbl.delete_where(F.col("tool").isNotNull() & (F.col("turn_idx") % 4 == 1))
+    _DELETE_TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state after two accumulated merge-on-read position
+    deletes: the gate fails if a deleted row survives, a kept row is
+    dropped, or either delete rewrote data it should not have."""
+    tbl = IceLiteTable(spark, _delete_table_root(spark, sf_dir))
+    return tbl.read()
+
+
+def lakehouse_delete_oracle_sql() -> str:
+    return f"""
+    WITH t AS ({transcripts_oracle_sql()})
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM t
+    WHERE NOT (role = 'assistant' AND turn_idx % 3 = 0)
+      AND NOT (tool IS NOT NULL AND turn_idx % 4 = 1)
+    """

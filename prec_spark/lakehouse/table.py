@@ -315,7 +315,8 @@ class IceLiteTable:
                 replace_partitions: list[dict] | None,
                 df_schema: StructType,
                 replace_paths: set[str] | None = None,
-                base_version: int | None = None) -> int:
+                base_version: int | None = None,
+                new_deletes: list[dict] | None = None) -> int:
         """Optimistic commit loop: merge against the CURRENT manifest,
         attempt the metadata swap, re-merge on conflict.
 
@@ -342,6 +343,17 @@ class IceLiteTable:
             else:
                 keep = base
             files = keep + new_entries
+
+            # carry position-delete files forward, dropping targets
+            # whose data file this commit replaced (their rows are
+            # physically gone from the rewritten files)
+            live_paths = {e["path"] for e in files}
+            deletes = []
+            for d in self._deletes(snap):
+                targets = [p for p in d["targets"] if p in live_paths]
+                if targets:
+                    deletes.append({**d, "targets": targets})
+            deletes.extend(new_deletes or [])
 
             schema = StructType.fromJson(meta["schema"])
             evolved = StructType(schema.fields + [
@@ -377,8 +389,10 @@ class IceLiteTable:
                 self._test_pre_commit = None
                 hook()
             try:
-                self._write_version(new_version, new_meta, {"files": files},
-                                    man_name)
+                self._write_version(
+                    new_version, new_meta,
+                    {"files": files, "deletes": deletes}, man_name,
+                )
                 return sid
             except FileExistsError:
                 continue  # lost the race: re-read state and re-merge
@@ -439,24 +453,22 @@ class IceLiteTable:
         affected_paths: set[str] = set()
         write_df = source
         if base:
-            tagged = self._read_files(base, schema).withColumn(
-                "_file", F.input_file_name()
+            # _del_path from the MoR read path is already the
+            # manifest-relative file path (input_file_name() cannot be
+            # used here: the delete anti-join makes the plan multi-source)
+            tagged = self._read_files(
+                base, schema, self._deletes(snap), with_pos=True
             )
             hit = (
                 tagged.join(src_keys, on=keys, how="leftsemi")
-                .select("_file").distinct().collect()
+                .select("_del_path").distinct().collect()
             )
-            for r in hit:
-                f = r._file
-                if f.startswith("file:"):
-                    f = f[len("file:"):].lstrip("/")
-                    f = "/" + f  # normalize file:///x/y -> /x/y
-                affected_paths.add(os.path.relpath(f, self.root))
+            affected_paths.update(r._del_path for r in hit)
             affected = [e for e in base if e["path"] in affected_paths]
             if affected:
-                survivors = self._read_files(affected, schema).join(
-                    src_keys, on=keys, how="left_anti"
-                )
+                survivors = self._read_files(
+                    affected, schema, self._deletes(snap)
+                ).join(src_keys, on=keys, how="left_anti")
                 write_df = survivors.unionByName(
                     source, allowMissingColumns=True
                 )
@@ -468,6 +480,61 @@ class IceLiteTable:
         return self._commit(entries, "merge", None, source.schema,
                             replace_paths=affected_paths,
                             base_version=version)
+
+    def delete_where(self, condition) -> int | None:
+        """Merge-on-read DELETE (Iceberg v2 position deletes): rows
+        matching ``condition`` (a Column) are recorded as (data-file
+        path, row position) pairs in a delete file — NO data file is
+        rewritten, which is what makes frequent small deletes (GDPR
+        erasure, bad-batch retraction) affordable on a 100 TB table.
+        Scans apply the delete file with an anti-join at read time;
+        compaction / clustering rewrites later fold the deletes into
+        the data files and drop the delete entries.
+
+        Serializable like merge: positions are only valid against the
+        exact files they were computed from, so the commit fails if
+        anything else lands first. Returns the new snapshot id, or
+        None when nothing matched."""
+        version = self._version()
+        meta = self._meta(version)
+        snap = self._snapshot(meta, None)
+        if snap is None:
+            raise ValueError("cannot delete from an empty table")
+        base = self._manifest(snap["manifest"])["files"]
+        schema = StructType.fromJson(snap["schema"])
+        matched = (
+            self._read_files(base, schema, self._deletes(snap), with_pos=True)
+            .filter(condition)
+            .select(
+                F.col("_del_path").alias("path"),
+                F.col("_del_pos").alias("pos"),
+            )
+        )
+        targets = sorted(r.path for r in matched.select("path").distinct().collect())
+        if not targets:
+            return None
+        cid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.root, f"tmp-del-{cid}")
+        matched.write.mode("overwrite").parquet(staging)
+        dest_dir = os.path.join(self.data_dir, "deletes")
+        os.makedirs(dest_dir, exist_ok=True)
+        entries: list[dict] = []
+        i = 0
+        for path in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+            rows, _stats = _file_stats(path)
+            if rows == 0:
+                continue
+            dest = os.path.join(dest_dir, f"d{cid}-{i:05d}.parquet")
+            os.rename(path, dest)
+            entries.append({
+                "path": os.path.relpath(dest, self.root),
+                "rows": rows,
+                "targets": targets,
+            })
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return self._commit([], "delete", None, schema,
+                            base_version=version, new_deletes=entries)
 
     def rewrite_clustered(self, key, num_files: int) -> int:
         """Replace the current snapshot's files with a layout clustered
@@ -488,7 +555,7 @@ class IceLiteTable:
         base = self._manifest(snap["manifest"])["files"]
         schema = StructType.fromJson(snap["schema"])
         ordered = (
-            self._read_files(base, schema)
+            self._read_files(base, schema, self._deletes(snap))
             .repartitionByRange(num_files, key)
             .sortWithinPartitions(key)
         )
@@ -519,12 +586,18 @@ class IceLiteTable:
             live = {
                 e["path"]
                 for s in keep
-                for e in self._manifest(s["manifest"])["files"]
+                for e in (
+                    self._manifest(s["manifest"])["files"]
+                    + self._manifest(s["manifest"]).get("deletes", [])
+                )
             }
             dead_files = {
                 e["path"]
                 for s in drop
-                for e in self._manifest(s["manifest"])["files"]
+                for e in (
+                    self._manifest(s["manifest"])["files"]
+                    + self._manifest(s["manifest"]).get("deletes", [])
+                )
             } - live
             new_meta = dict(meta)
             new_meta["snapshots"] = keep
@@ -574,7 +647,7 @@ class IceLiteTable:
             return None
         schema = StructType.fromJson(snap["schema"])
         spec = meta["partition_spec"]
-        packed = self._read_files(small, schema)
+        packed = self._read_files(small, schema, self._deletes(snap))
         # one task per packed partition value -> one output file each;
         # unpartitioned tables pack into a single file
         packed = (packed.repartition(len(by_part), *spec) if spec
@@ -605,16 +678,73 @@ class IceLiteTable:
             files = [e for e in files if _maybe_matches(e, col, op, val)]
         return files
 
-    def _read_files(self, entries: list[dict], schema: StructType) -> DataFrame:
+    def _deletes(self, snap: dict | None) -> list[dict]:
+        """The snapshot's position-delete file entries (v2 MoR)."""
+        if snap is None:
+            return []
+        return self._manifest(snap["manifest"]).get("deletes", [])
+
+    def _read_files(
+        self,
+        entries: list[dict],
+        schema: StructType,
+        deletes: list[dict] | None = None,
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Read data files, applying position deletes merge-on-read.
+
+        ``deletes`` entries are ``{path, rows, targets}``: a parquet
+        file of (path, pos) pairs naming rows of the ``targets`` data
+        files. Rows are dropped by an anti-join on (relative data-file
+        path, in-file row index) — the data files themselves are never
+        rewritten, which is the whole point of MoR deletes. Delete
+        files whose targets are not among ``entries`` are skipped, so
+        a pruned scan never pays for deletes on files it won't read."""
+        pos_cols = ["_del_path", "_del_pos"]
         if not entries:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_pos:
+                out = out.withColumn("_del_path", F.lit(None).cast("string"))
+                out = out.withColumn("_del_pos", F.lit(None).cast("long"))
+            return out
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         df = (
             self.spark.read.option("basePath", self.data_dir)
             .schema(schema)
             .parquet(*paths)
         )
-        return df.select(*[f.name for f in schema.fields])
+        need = {e["path"] for e in entries}
+        live = [
+            d for d in (deletes or []) if need.intersection(d["targets"])
+        ]
+        cols = [f.name for f in schema.fields]
+        if not live and not with_pos:
+            return df.select(*cols)
+        # normalize file:/x, file:///x, or bare /x to the same absolute
+        # form, then strip the table root -> manifest-relative path
+        rel = F.replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), F.lit("^file:/+"), F.lit("/")
+            ),
+            F.lit(self.root + "/"),
+            F.lit(""),
+        )
+        df = df.withColumn("_del_path", rel).withColumn(
+            "_del_pos", F.col("_metadata.row_index")
+        )
+        if live:
+            dpaths = [os.path.join(self.root, d["path"]) for d in live]
+            dels = (
+                self.spark.read.schema("path string, pos long")
+                .parquet(*dpaths)
+            )
+            df = df.join(
+                dels,
+                (df["_del_path"] == dels["path"])
+                & (df["_del_pos"] == dels["pos"]),
+                "left_anti",
+            )
+        return df.select(*(cols + pos_cols if with_pos else cols))
 
     def read_incremental(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """Rows ADDED between two snapshots (exclusive/inclusive): the
@@ -645,7 +775,10 @@ class IceLiteTable:
                 "incremental append scan would misrepresent the delta"
             )
         added = [e for e in to_entries if e["path"] not in from_files]
-        return self._read_files(added, StructType.fromJson(to_snap["schema"]))
+        return self._read_files(
+            added, StructType.fromJson(to_snap["schema"]),
+            self._deletes(to_snap),
+        )
 
     def read_changes(
         self, from_snapshot: int, to_snapshot: int
@@ -680,8 +813,11 @@ class IceLiteTable:
             from_snap["schema"] if from_snap else to_snap["schema"]
         )
         return (
-            self._read_files(added, StructType.fromJson(to_snap["schema"])),
-            self._read_files(removed, from_schema),
+            self._read_files(
+                added, StructType.fromJson(to_snap["schema"]),
+                self._deletes(to_snap),
+            ),
+            self._read_files(removed, from_schema, self._deletes(from_snap)),
         )
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -691,7 +827,7 @@ class IceLiteTable:
         schema = (StructType.fromJson(snap["schema"]) if snap
                   else StructType.fromJson(meta["schema"]))
         return self._read_files(
-            self.planned_files((), snapshot_id), schema
+            self.planned_files((), snapshot_id), schema, self._deletes(snap)
         )
 
     def scan(
@@ -700,10 +836,12 @@ class IceLiteTable:
         snapshot_id: int | None = None,
     ) -> DataFrame:
         """Pruned scan: manifest file-skipping + residual Spark filter."""
+        snap = self._snapshot(self._meta(), snapshot_id)
         df = self._read_files(
             self.planned_files(predicates, snapshot_id),
-            (StructType.fromJson(self._snapshot(self._meta(), snapshot_id)["schema"])
-             if self._snapshot(self._meta(), snapshot_id) else self.current_schema()),
+            (StructType.fromJson(snap["schema"]) if snap
+             else self.current_schema()),
+            self._deletes(snap),
         )
         for col, op, val in predicates:
             df = df.filter(_predicate_column(col, op, val))

@@ -310,3 +310,104 @@ def test_lakehouse_gate_queries_match_oracle(spark):
         lakehouse_incremental_oracle_sql(),
         SF_DIR,
     )
+
+
+# ------------------------------------------------------ MoR position deletes
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(k, c, datetime.datetime(1995, 1, 1 + k)) for k, c in rows], SCHEMA
+    )
+
+
+def _manifest_of(tbl, snapshot_id=None):
+    snap = tbl._snapshot(tbl._meta(), snapshot_id)
+    return tbl._manifest(snap["manifest"])
+
+
+def test_mor_delete_no_rewrite(spark, tmp_path):
+    """Position deletes must leave every data file untouched, apply at
+    read time, accumulate across delete commits, and keep time travel
+    to the pre-delete snapshot intact."""
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    tbl.append(_mk(spark, [(1, "a"), (2, "b"), (3, "a")]))
+    tbl.append(_mk(spark, [(4, "b"), (5, "a")]))
+    files_before = sorted(e["path"] for e in _manifest_of(tbl)["files"])
+
+    sid = tbl.delete_where(F.col("k") % 2 == 0)
+    assert sid == 3
+    man = _manifest_of(tbl)
+    assert sorted(e["path"] for e in man["files"]) == files_before
+    assert len(man["deletes"]) >= 1
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 3, 5]
+    # pre-delete snapshots still see everything
+    assert tbl.read(snapshot_id=2).count() == 5
+    # second delete accumulates on the same data files
+    assert tbl.delete_where(F.col("cat") == "a") == 4
+    assert sorted(r.k for r in tbl.read().collect()) == []
+    assert sorted(e["path"] for e in _manifest_of(tbl)["files"]) == files_before
+    # no-op delete: no commit
+    v = tbl._version()
+    assert tbl.delete_where(F.col("k") > 100) is None
+    assert tbl._version() == v
+
+
+def test_mor_delete_scan_and_incremental(spark, tmp_path):
+    """Pruned scans and changelog reads apply the snapshot's deletes."""
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    tbl.append(_mk(spark, [(1, "a"), (2, "b")]))
+    tbl.append(_mk(spark, [(3, "a"), (4, "b")]))
+    tbl.delete_where(F.col("k").isin(2, 3))
+    assert sorted(r.k for r in tbl.scan(predicates=(("k", ">=", 2),)).collect()) == [4]
+    added, removed = tbl.read_changes(1, 3)
+    assert sorted(r.k for r in added.collect()) == [4]
+    assert removed.count() == 0
+
+
+def test_mor_delete_merge_folds_deletes(spark, tmp_path):
+    """A CoW merge over MoR-deleted files must not resurrect deleted
+    rows, and delete entries targeting rewritten files are dropped."""
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    tbl.append(_mk(spark, [(1, "a"), (2, "b"), (3, "a")]))
+    tbl.delete_where(F.col("k") == 2)
+    tbl.merge(_mk(spark, [(3, "z"), (9, "z")]), on=("k",))
+    got = sorted((r.k, r.cat) for r in tbl.read().collect())
+    assert got == [(1, "a"), (3, "z"), (9, "z")]  # 2 stays deleted
+    # the merge rewrote every file containing k in {3}; files holding
+    # only k=1/k=2 rows may survive — any remaining delete entry must
+    # still target a live file
+    man = _manifest_of(tbl)
+    live = {e["path"] for e in man["files"]}
+    for d in man["deletes"]:
+        assert set(d["targets"]) <= live
+
+
+def test_mor_delete_compaction_folds(spark, tmp_path):
+    """Compaction physically drops deleted rows and clears the folded
+    delete entries."""
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    tbl.append(_mk(spark, [(1, "a")]))
+    tbl.append(_mk(spark, [(2, "a")]))
+    tbl.append(_mk(spark, [(3, "a")]))
+    tbl.delete_where(F.col("k") == 2)
+    assert tbl.compact_files(min_rows=10) is not None
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 3]
+    assert _manifest_of(tbl)["deletes"] == []
+
+
+def test_mor_delete_expire_retains_delete_files(spark, tmp_path):
+    """Snapshot expiry must treat referenced delete files as live."""
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    tbl.append(_mk(spark, [(1, "a"), (2, "b")]))
+    tbl.delete_where(F.col("k") == 1)
+    tbl.expire_snapshots(keep_last=1)
+    assert sorted(r.k for r in tbl.read().collect()) == [2]
+
+
+def test_lakehouse_delete_oracle(spark, sf_dir):
+    from prec_spark.lakehouse.queries import (
+        lakehouse_delete,
+        lakehouse_delete_oracle_sql,
+    )
+
+    compare(lakehouse_delete(spark, sf_dir), lakehouse_delete_oracle_sql(), sf_dir)
