@@ -46,6 +46,7 @@ from .text.quality import (
     tfidf_rank_oracle_sql,
 )
 from .incremental import kg_incremental, kg_incremental_oracle_sql
+from .text.bpe import bpe_train, bpe_train_oracle_sql
 from .transcripts import transcripts_df, transcripts_oracle_sql
 from .text.analysis import (
     doc_fingerprint,
@@ -934,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "quality_repetition": quality_repetition,
         "lakehouse_delete": lakehouse_delete,
+        "bpe_train": bpe_train,
     }
 
 
@@ -1008,4 +1010,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": triangles_oracle_sql(_kg_triples_oracle()),
         "quality_repetition": quality_repetition_oracle_sql(),
         "lakehouse_delete": lakehouse_delete_oracle_sql(),
+        "bpe_train": bpe_train_oracle_sql(),
     }
