@@ -46,7 +46,12 @@ from .text.quality import (
     tfidf_rank_oracle_sql,
 )
 from .incremental import kg_incremental, kg_incremental_oracle_sql
-from .text.bpe import bpe_train, bpe_train_oracle_sql
+from .text.bpe import (
+    bpe_encode,
+    bpe_encode_oracle_sql,
+    bpe_train,
+    bpe_train_oracle_sql,
+)
 from .transcripts import transcripts_df, transcripts_oracle_sql
 from .text.analysis import (
     doc_fingerprint,
@@ -936,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": quality_repetition,
         "lakehouse_delete": lakehouse_delete,
         "bpe_train": bpe_train,
+        "bpe_encode": bpe_encode,
     }
 
 
@@ -1011,4 +1017,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": quality_repetition_oracle_sql(),
         "lakehouse_delete": lakehouse_delete_oracle_sql(),
         "bpe_train": bpe_train_oracle_sql(),
+        "bpe_encode": bpe_encode_oracle_sql(),
     }

