@@ -134,6 +134,8 @@ from .joins import (
 from .sketches import (
     cms_heavy_hitters,
     cms_heavy_hitters_oracle_sql,
+    hll_merge,
+    hll_merge_oracle_sql,
     hll_registers,
     hll_registers_oracle_sql,
 )
@@ -942,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_delete": lakehouse_delete,
         "bpe_train": bpe_train,
         "bpe_encode": bpe_encode,
+        "hll_merge": hll_merge,
     }
 
 
@@ -1018,4 +1021,5 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_delete": lakehouse_delete_oracle_sql(),
         "bpe_train": bpe_train_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
+        "hll_merge": hll_merge_oracle_sql(),
     }

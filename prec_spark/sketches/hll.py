@@ -94,3 +94,57 @@ def hll_estimate(registers: dict[int, int], m: int = 1 << P_BITS) -> float:
         import math
         return m * math.log(m / zeros)
     return est
+
+
+#: shards for the merge demonstration (any partitioning works — that
+#: is the point of a mergeable sketch)
+MERGE_SHARDS = 4
+
+
+def hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, register) — the SAME vocabulary sketch, built the way a
+    cluster actually builds it: each shard of the corpus computes its
+    own 256-register sketch independently, and the shard sketches are
+    union-merged by element-wise MAX. HLL's merge is exact (max of
+    maxes), which is what lets map-side partials, per-datacenter
+    rollups, and daily sketches compose without rescanning anything.
+
+    The driver gate pins the property end-to-end: the oracle computes
+    the DIRECT single-pass sketch, so any divergence between the
+    sharded-merge path and the global path breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % MERGE_SHARDS
+    )
+    terms = (
+        d.select(shard.alias("shard"), F.explode(F.split("text", " ")).alias("term"))
+        .distinct()  # per-shard distinct: shards dedup independently
+    )
+    h = terms.select(
+        "shard",
+        F.md5("term").alias("h"),
+    ).select(
+        "shard",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.expr(f"ltrim('0', substring(h, 3, {WORD_HEX}))").alias("w"),
+    )
+    rank = F.when(F.col("w") == "", F.lit(4 * WORD_HEX + 1)).otherwise(
+        (4 * WORD_HEX - 4 * F.length("w"))
+        + F.expr(_nibble_case_sql("substring(w, 1, 1)"))
+        + 1
+    )
+    per_shard = (
+        h.select("shard", "bucket", rank.cast("int").alias("rank"))
+        .groupBy("shard", "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+    return (
+        per_shard.groupBy("bucket")
+        .agg(F.max("register").cast("int").alias("register"))
+    )
+
+
+def hll_merge_oracle_sql() -> str:
+    """The direct (unsharded) sketch — merge-exactness IS the gate."""
+    return hll_registers_oracle_sql()

@@ -76,3 +76,63 @@ def test_hll_gate_matches_oracle(spark):
     from prec_spark.sketches.hll import hll_registers, hll_registers_oracle_sql
 
     compare(hll_registers(spark, SF_DIR), hll_registers_oracle_sql(), SF_DIR)
+
+
+def test_hll_merge_is_exact_and_nontrivial(spark, sf_dir):
+    """Element-wise max of per-shard sketches == the direct global
+    sketch, and at least one shard sketch differs from the merge (the
+    merge actually does work)."""
+    from prec_spark.sketches import hll_merge, hll_registers
+
+    direct = {r.bucket: r.register for r in hll_registers(spark, sf_dir).collect()}
+    merged = {r.bucket: r.register for r in hll_merge(spark, sf_dir).collect()}
+    assert merged == direct
+    # on the tiny 31-word vocabulary every shard sees every term, so
+    # prove "the merge does work" on a synthetic corpus of DISJOINT
+    # shards: each shard sketch must be strictly weaker than the
+    # max-merge of all of them, and the merge must equal the direct
+    # sketch of the union
+    from prec_spark.sketches.hll import WORD_HEX, _nibble_case_sql
+    import pyspark.sql.functions as F
+
+    terms = spark.range(1000).select(
+        (F.col("id") % 4).alias("shard"),
+        F.concat(F.lit("term_"), F.col("id")).alias("term"),
+    )
+    h = terms.select("shard", F.md5("term").alias("h")).select(
+        "shard",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.expr(f"ltrim('0', substring(h, 3, {WORD_HEX}))").alias("w"),
+    )
+    rank = F.when(F.col("w") == "", F.lit(4 * WORD_HEX + 1)).otherwise(
+        (4 * WORD_HEX - 4 * F.length("w"))
+        + F.expr(_nibble_case_sql("substring(w, 1, 1)"))
+        + 1
+    )
+    ranked = h.select("shard", "bucket", rank.cast("int").alias("rank"))
+    per_shard = ranked.groupBy("shard", "bucket").agg(
+        F.max("rank").alias("register")
+    )
+    merged_syn = {
+        (r.bucket): r.register
+        for r in per_shard.groupBy("bucket")
+        .agg(F.max("register").alias("register")).collect()
+    }
+    direct_syn = {
+        r.bucket: r.register
+        for r in ranked.groupBy("bucket")
+        .agg(F.max("rank").alias("register")).collect()
+    }
+    assert merged_syn == direct_syn
+    for s in range(4):
+        one = {
+            r.bucket: r.register
+            for r in per_shard.filter(F.col("shard") == s).collect()
+        }
+        assert one != merged_syn  # each shard alone is strictly weaker
+
+
+def test_hll_merge_oracle(spark, sf_dir):
+    from prec_spark.sketches import hll_merge, hll_merge_oracle_sql
+
+    compare(hll_merge(spark, sf_dir), hll_merge_oracle_sql(), sf_dir)
