@@ -111,6 +111,8 @@ from .streaming.events import (
 from .lakehouse import (
     lakehouse_delete,
     lakehouse_delete_oracle_sql,
+    lakehouse_hidden,
+    lakehouse_hidden_oracle_sql,
     lakehouse_incremental,
     lakehouse_incremental_oracle_sql,
     lakehouse_merge,
@@ -945,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe_train,
         "bpe_encode": bpe_encode,
         "hll_merge": hll_merge,
+        "lakehouse_hidden": lakehouse_hidden,
     }
 
 
@@ -1022,4 +1025,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": bpe_train_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
         "hll_merge": hll_merge_oracle_sql(),
+        "lakehouse_hidden": lakehouse_hidden_oracle_sql(),
     }

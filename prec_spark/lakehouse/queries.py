@@ -384,3 +384,64 @@ def lakehouse_delete_oracle_sql() -> str:
     WHERE NOT (role = 'assistant' AND turn_idx % 3 = 0)
       AND NOT (tool IS NOT NULL AND turn_idx % 4 = 1)
     """
+
+
+_HIDDEN_TABLES: dict[str, str] = {}
+
+_HIDDEN_CUTOFF = datetime.datetime(2024, 1, 25)
+
+
+def _hidden_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) an events table with HIDDEN partitioning —
+    day(ts) x bucket(4, user_id) — no materialized partition columns."""
+    cached = _HIDDEN_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        key = f"hidden|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = "hidden|" + sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakehidden_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= 2:  # create + append
+                _HIDDEN_TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = spark.read.parquet(src).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tbl = IceLiteTable.create(
+        spark, root, ev.schema, partition_by=("day(ts)", "bucket(4,user_id)")
+    )
+    tbl.append(ev)
+    _HIDDEN_TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed scan of the hidden-partitioned table: planning
+    prunes whole day directories by mapping ``ts >= cutoff`` into the
+    day() transform domain (the unit tests pin the file counts); the
+    value gate proves pruning never costs a row."""
+    tbl = IceLiteTable(spark, _hidden_table_root(spark, sf_dir))
+    return tbl.scan(predicates=(("ts", ">=", _HIDDEN_CUTOFF),))
+
+
+def lakehouse_hidden_oracle_sql() -> str:
+    return f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_HIDDEN_CUTOFF:%Y-%m-%d %H:%M:%S}'
+    """

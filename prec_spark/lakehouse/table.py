@@ -35,11 +35,18 @@ https://iceberg.apache.org/spec/):
   new columns (parquet-by-name resolution, the Iceberg add-column
   path).
 
-Partition spec: identity transform over string columns (the shape the
-transcripts pipeline needs — e.g. ``role`` or a conv_id hash bucket
-materialized as a string column). Data files live in Hive-style
-``data/col=value/`` dirs so ``spark.read.parquet`` with ``basePath``
-reconstructs partition columns without them being stored per row.
+Partition spec: identity transform over string columns, plus HIDDEN
+partition transforms in the Iceberg sense — ``day(ts)``,
+``bucket(N, col)`` (md5 hash bucket, the cross-engine-portable hash
+used across this repo) and ``truncate(W, col)``. A transform's value
+is materialized only as the Hive-style directory name
+(``data/ts_day=2024-01-07/``), never as a data column: writers derive
+it, and scan planning maps predicates on the SOURCE column to the
+transform domain (``ts >= X`` prunes on ``day >= day(X)`` because day
+is monotone; ``bucket`` prunes equality only). That is what "users
+never see or maintain partition columns" means in Iceberg. Identity
+partitions reconstruct through ``basePath``; transform directories
+are consumed by the planner and dropped from row output.
 
 The reference has no storage layer at all (in-memory RDF store,
 SURVEY.md §2.1); this module is pure scale infrastructure in the
@@ -50,8 +57,10 @@ from __future__ import annotations
 
 import datetime as _dt
 import glob
+import hashlib
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -128,13 +137,94 @@ _OPS = {
 }
 
 
-def _maybe_matches(entry: dict, col: str, op: str, val) -> bool:
+#: "day(ts)" / "bucket(8,user_id)" / "truncate(4,text)"; bare names
+#: are identity transforms
+_SPEC_RE = re.compile(r"^(day|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$")
+
+
+def _parse_spec_field(s: str) -> tuple[str, str, int | None, str]:
+    """spec string -> (kind, source_col, param, partition_col_name)."""
+    m = _SPEC_RE.match(s)
+    if m is None:
+        return ("identity", s, None, s)
+    kind, param, source = m.group(1), m.group(2), m.group(3)
+    if kind == "day":
+        if param is not None:
+            raise ValueError(f"day() takes no width: {s!r}")
+        return ("day", source, None, f"{source}_day")
+    if param is None:
+        raise ValueError(f"{kind}() needs a width/bucket count: {s!r}")
+    n = int(param)
+    if n < 1:
+        raise ValueError(f"{kind}() width must be >= 1: {s!r}")
+    suffix = "bucket" if kind == "bucket" else "trunc"
+    return (kind, source, n, f"{source}_{suffix}")
+
+
+def _transform_expr(kind: str, source: str, param: int | None):
+    """The write-side Spark expression materializing a transform."""
+    c = F.col(source)
+    if kind == "identity":
+        return c
+    if kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if kind == "bucket":
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long") % param
+        ).cast("string")
+    if kind == "truncate":
+        return F.substring(c, 1, param)
+    raise ValueError(kind)
+
+
+def _transform_literal(kind: str, param: int | None, val) -> str | None:
+    """Driver-side twin of :func:`_transform_expr` for predicate
+    literals; None = not transformable, keep the file."""
+    if kind == "day":
+        if isinstance(val, (_dt.datetime, _dt.date)):
+            return val.strftime("%Y-%m-%d")
+        return None
+    if kind == "bucket":
+        h = hashlib.md5(str(val).encode()).hexdigest()[:8]
+        return str(int(h, 16) % param)
+    if kind == "truncate":
+        return val[:param] if isinstance(val, str) else None
+    return None
+
+
+#: op relaxation under a MONOTONE transform t: s >= v  =>  t(s) >= t(v)
+#: (strict ops lose strictness: distinct s, v can share a day/prefix)
+_MONOTONE_OP = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+
+
+def _maybe_matches(entry: dict, col: str, op: str, val,
+                   spec: list[str] | None = None) -> bool:
     """Can ANY row of this file satisfy ``col op val``? (conservative)"""
     part = entry["partition"].get(col)
     if part is not None:
         if not isinstance(val, str):
             return True  # partition values are strings; keep on mismatch
         return _OPS[op](part, part, val)
+    # hidden-transform pruning: map the source-column predicate into
+    # each transform's domain (day/truncate are monotone; bucket is
+    # equality-only)
+    for s in spec or ():
+        kind, source, param, pname = _parse_spec_field(s)
+        if kind == "identity" or source != col:
+            continue
+        pval = entry["partition"].get(pname)
+        if pval is None:
+            continue
+        tval = _transform_literal(kind, param, val)
+        if tval is None:
+            continue
+        if kind == "bucket":
+            if op == "=" and pval != tval:
+                return False
+            continue
+        if not _OPS[_MONOTONE_OP[op]](pval, pval, tval):
+            return False
     st = entry["stats"].get(col)
     if st is None:
         return True  # no stats -> cannot prune
@@ -181,13 +271,21 @@ class IceLiteTable:
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         for c in partition_by:
-            f = schema[c]
-            if f.dataType.simpleString() != "string":
+            kind, source, _param, _pname = _parse_spec_field(c)
+            if source not in schema.fieldNames():
+                raise ValueError(f"partition source column {source!r} not in schema")
+            src_type = schema[source].dataType.simpleString()
+            if kind == "identity" and src_type != "string":
                 raise ValueError(
                     f"identity partition col {c!r} must be string, got "
-                    f"{f.dataType.simpleString()} (hash/truncate transforms "
-                    "are materialized as string columns upstream)"
+                    f"{src_type} (use bucket()/truncate()/day() transforms "
+                    "for non-string partitioning)"
                 )
+            if kind == "day" and src_type not in ("timestamp", "date",
+                                                  "timestamp_ntz"):
+                raise ValueError(f"day() needs a timestamp/date source: {c!r}")
+            if kind == "truncate" and src_type != "string":
+                raise ValueError(f"truncate() needs a string source: {c!r}")
         meta = {
             "format_version": 1,
             "table_uuid": str(uuid.uuid4()),
@@ -268,9 +366,13 @@ class IceLiteTable:
         staging = os.path.join(self.root, f"tmp-{cid}")
         out = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields
                          if f.name in df.columns])
+        parsed = [_parse_spec_field(s) for s in spec]
+        for kind, source, param, pname in parsed:
+            if kind != "identity":
+                out = out.withColumn(pname, _transform_expr(kind, source, param))
         writer = out.write.mode("overwrite")
         if spec:
-            writer = writer.partitionBy(*spec)
+            writer = writer.partitionBy(*[p[3] for p in parsed])
         # Spark's default INT96 timestamps carry NO parquet min/max stats,
         # which would silently disable manifest-level time pruning — write
         # TIMESTAMP_MICROS (Iceberg's required physical type) instead.
@@ -414,9 +516,15 @@ class IceLiteTable:
         spec = meta["partition_spec"]
         if not spec:
             raise ValueError("overwrite_partitions needs a partitioned table")
+        parsed = [_parse_spec_field(s) for s in spec]
+        names = [p[3] for p in parsed]
+        proj = df
+        for kind, source, param, pname in parsed:
+            if kind != "identity":
+                proj = proj.withColumn(pname, _transform_expr(kind, source, param))
         parts = [
-            {k: r[k] for k in spec}
-            for r in df.select(*spec).distinct().collect()
+            {k: r[k] for k in names}
+            for r in proj.select(*names).distinct().collect()
         ]
         schema = StructType.fromJson(meta["schema"])
         write_schema = StructType(schema.fields + [
@@ -649,8 +757,10 @@ class IceLiteTable:
         spec = meta["partition_spec"]
         packed = self._read_files(small, schema, self._deletes(snap))
         # one task per packed partition value -> one output file each;
-        # unpartitioned tables pack into a single file
-        packed = (packed.repartition(len(by_part), *spec) if spec
+        # unpartitioned tables pack into a single file (transform specs
+        # repartition on the derived expression, not a data column)
+        exprs = [_transform_expr(*_parse_spec_field(s)[:3]) for s in spec]
+        packed = (packed.repartition(len(by_part), *exprs) if spec
                   else packed.coalesce(1))
         entries = self._stage_files(packed, spec, schema)
         return self._commit(entries, "replace", None, schema,
@@ -674,8 +784,9 @@ class IceLiteTable:
         if snap is None:
             return []
         files = self._manifest(snap["manifest"])["files"]
+        spec = meta["partition_spec"]
         for col, op, val in predicates:
-            files = [e for e in files if _maybe_matches(e, col, op, val)]
+            files = [e for e in files if _maybe_matches(e, col, op, val, spec)]
         return files
 
     def _deletes(self, snap: dict | None) -> list[dict]:

@@ -411,3 +411,113 @@ def test_lakehouse_delete_oracle(spark, sf_dir):
     )
 
     compare(lakehouse_delete(spark, sf_dir), lakehouse_delete_oracle_sql(), sf_dir)
+
+
+# -------------------------------------------------- hidden partitioning
+
+def test_partition_transform_parse_and_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from prec_spark.lakehouse.table import _parse_spec_field
+
+    assert _parse_spec_field("role") == ("identity", "role", None, "role")
+    assert _parse_spec_field("day(ts)") == ("day", "ts", None, "ts_day")
+    assert _parse_spec_field("bucket(8,uid)") == ("bucket", "uid", 8, "uid_bucket")
+    assert _parse_spec_field("truncate(3,txt)") == ("truncate", "txt", 3, "txt_trunc")
+    with _pytest.raises(ValueError):
+        _parse_spec_field("bucket(ts)")  # missing count
+    with _pytest.raises(ValueError):
+        IceLiteTable.create(spark, str(tmp_path / "a"), SCHEMA,
+                            partition_by=("day(k)",))  # k is int
+    with _pytest.raises(ValueError):
+        IceLiteTable.create(spark, str(tmp_path / "b"), SCHEMA,
+                            partition_by=("truncate(2,k)",))  # k is int
+    with _pytest.raises(ValueError):
+        IceLiteTable.create(spark, str(tmp_path / "c"), SCHEMA,
+                            partition_by=("bucket(4,nope)",))  # absent
+
+
+def test_hidden_partition_prunes_and_never_costs_rows(spark, sf_dir):
+    """day() directory pruning must strictly shrink the planned file
+    set under a time predicate, bucket() under user equality, and the
+    scan results must equal a plain filter over the raw parquet."""
+    import pyspark.sql.functions as F
+
+    from prec_spark.lakehouse.queries import _hidden_table_root
+
+    tbl = IceLiteTable(spark, _hidden_table_root(spark, sf_dir))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cut = datetime.datetime(2024, 1, 25)
+
+    n_all = len(tbl.planned_files(()))
+    n_day = len(tbl.planned_files((("ts", ">=", cut),)))
+    n_bkt = len(tbl.planned_files((("user_id", "=", 13),)))
+    assert n_day < n_all and n_bkt < n_all
+
+    got = sorted(r.event_id for r in
+                 tbl.scan(predicates=(("ts", ">=", cut),)).collect())
+    exp = sorted(r.event_id for r in
+                 ev.filter(F.col("ts") >= F.lit(cut)).collect())
+    assert got == exp
+    gotb = sorted(r.event_id for r in
+                  tbl.scan(predicates=(("user_id", "=", 13),)).collect())
+    expb = sorted(r.event_id for r in
+                  ev.filter(F.col("user_id") == 13).collect())
+    assert gotb == expb
+    # transform columns never leak into row output
+    assert "ts_day" not in tbl.read().columns
+    assert "user_id_bucket" not in tbl.read().columns
+
+
+def test_hidden_partition_strict_op_keeps_boundary_day(spark, tmp_path):
+    """ts > (midnight of day D) must KEEP day D's directory — the day
+    transform is monotone, not strictly monotone, so '>' relaxes to
+    '>=' in the transform domain."""
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType, TimestampType,
+    )
+
+    sch = StructType([
+        StructField("k", IntegerType()),
+        StructField("ts", TimestampType()),
+    ])
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), sch,
+                              partition_by=("day(ts)",))
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime.datetime(2024, 1, 1, 23, 0, 0)),
+        (3, datetime.datetime(2024, 1, 2, 1, 0, 0)),
+    ]
+    tbl.append(spark.createDataFrame(rows, sch))
+    # midnight of Jan 1: '>' must keep Jan 1's file (row 2 matches)
+    got = sorted(r.k for r in tbl.scan(
+        predicates=(("ts", ">", datetime.datetime(2024, 1, 1)),)).collect())
+    assert got == [2, 3]
+    # equality on a truncated-away timestamp prunes to one day dir
+    assert len(tbl.planned_files(
+        (("ts", "=", datetime.datetime(2024, 1, 2, 1, 0, 0)),))) == 1
+
+
+def test_truncate_transform_round_trip(spark, tmp_path):
+    tbl = IceLiteTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                              partition_by=("truncate(1,cat)",))
+    tbl.append(_mk(spark, [(1, "apple"), (2, "avocado"), (3, "banana")]))
+    assert len(tbl.planned_files((("cat", "=", "banana"),))) == 1
+    got = sorted(r.k for r in tbl.scan(
+        predicates=(("cat", "=", "avocado"),)).collect())
+    assert got == [2]
+    # dynamic partition overwrite by DERIVED partition value: replacing
+    # the 'a' prefix partition must not touch 'b'
+    tbl.overwrite_partitions(_mk(spark, [(9, "apricot")]))
+    assert sorted((r.k, r.cat) for r in tbl.read().collect()) == [
+        (3, "banana"), (9, "apricot"),
+    ]
+
+
+def test_lakehouse_hidden_oracle(spark, sf_dir):
+    from prec_spark.lakehouse.queries import (
+        lakehouse_hidden,
+        lakehouse_hidden_oracle_sql,
+    )
+
+    compare(lakehouse_hidden(spark, sf_dir), lakehouse_hidden_oracle_sql(), sf_dir)
