@@ -125,6 +125,12 @@ from .lakehouse import (
     lakehouse_time_travel_oracle_sql,
 )
 from .datasets import dataset_split, dataset_split_oracle_sql
+from .sampling import (
+    pack_sequences,
+    pack_sequences_oracle_sql,
+    stratified_sample,
+    stratified_sample_oracle_sql,
+)
 from .text.curation import pretrain_filter, pretrain_filter_oracle_sql
 from .text.decontaminate import decontaminate, decontaminate_oracle_sql
 from .joins import (
@@ -948,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode,
         "hll_merge": hll_merge,
         "lakehouse_hidden": lakehouse_hidden,
+        "stratified_sample": stratified_sample,
+        "pack_sequences": pack_sequences,
     }
 
 
@@ -1026,4 +1034,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": bpe_encode_oracle_sql(),
         "hll_merge": hll_merge_oracle_sql(),
         "lakehouse_hidden": lakehouse_hidden_oracle_sql(),
+        "stratified_sample": stratified_sample_oracle_sql(),
+        "pack_sequences": pack_sequences_oracle_sql(),
     }
