@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cached import cached_transcripts, shared_cached_df
-from .flagship import flagship_oracle_sql, flagship_triples
+from .flagship import EX, flagship_oracle_sql, flagship_triples
 from .pg.export import cypher_create_statements, gremlin_insert_statements
 from .pg.projection import pg_edges, pg_nodes
 from .prec0 import prec0_quads
@@ -151,6 +151,7 @@ from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
+from .plans.bgp import match_and_bind
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
@@ -836,6 +837,37 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     return ids, iund
 
 
+def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-facing BGP (basic graph pattern) query over the full KG
+    — the reference's matchAndBind surface (SURVEY.md J1) driven as a
+    4-pattern conjunctive query: every (turn, entity, entity name,
+    tool, conversation) co-occurrence. Variables become columns; the
+    pattern list compiles to a left-deep equi-join chain that Catalyst
+    reorders/broadcasts freely (the tiny name/tool dimensions become
+    broadcast sides)."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    return match_and_bind(kg, [
+        ("?turn", f"<{EX}mentions>", "?entity"),
+        ("?entity", f"<{EX}name>", "?name"),
+        ("?turn", f"<{EX}usesTool>", "?tool"),
+        ("?turn", f"<{EX}inConversation>", "?conv"),
+    ])
+
+
+def _kg_bgp_oracle() -> str:
+    return f"""
+WITH kg AS MATERIALIZED ({_kg_triples_oracle()})
+SELECT t1.s AS turn, t1.o AS entity, t2.o AS name, t3.o AS tool, t4.o AS conv
+FROM kg t1
+JOIN kg t2 ON t2.p = '<{EX}name>' AND t2.s = t1.o
+JOIN kg t3 ON t3.p = '<{EX}usesTool>' AND t3.s = t1.s
+JOIN kg t4 ON t4.p = '<{EX}inConversation>' AND t4.s = t1.s
+WHERE t1.p = '<{EX}mentions>'
+"""
+
+
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the KG instance graph (see
     plans/triangles.py: degree-oriented wedge join, hub-safe by
@@ -956,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_hidden": lakehouse_hidden,
         "stratified_sample": stratified_sample,
         "pack_sequences": pack_sequences,
+        "kg_bgp": _kg_bgp,
     }
 
 
@@ -1036,4 +1069,5 @@ def oracle_sql() -> dict[str, str]:
         "lakehouse_hidden": lakehouse_hidden_oracle_sql(),
         "stratified_sample": stratified_sample_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(),
+        "kg_bgp": _kg_bgp_oracle(),
     }
