@@ -46,6 +46,7 @@ from .text.quality import (
     tfidf_rank_oracle_sql,
 )
 from .incremental import kg_incremental, kg_incremental_oracle_sql
+from .temporal_kg import kg_asof, kg_asof_oracle_sql
 from .text.bpe import (
     bpe_encode,
     bpe_encode_oracle_sql,
@@ -989,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "pack_sequences": pack_sequences,
         "kg_bgp": _kg_bgp,
+        "kg_asof": kg_asof,
     }
 
 
@@ -1070,4 +1072,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_oracle_sql(),
         "pack_sequences": pack_sequences_oracle_sql(),
         "kg_bgp": _kg_bgp_oracle(),
+        "kg_asof": kg_asof_oracle_sql(),
     }
