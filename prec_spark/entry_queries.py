@@ -153,6 +153,7 @@ from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.bgp import match_and_bind
+from .plans.wsp import wsp, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
@@ -869,6 +870,18 @@ WHERE t1.p = '<{EX}mentions>'
 """
 
 
+def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest path to the nearest entity node
+    (see plans/wsp.py: integer min-plus Bellman-Ford, portable md5 edge
+    weights); shares the session-cached symmetric edge list."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return wsp(und)
+
+
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the KG instance graph (see
     plans/triangles.py: degree-oriented wedge join, hub-safe by
@@ -991,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "kg_bgp": _kg_bgp,
         "kg_asof": kg_asof,
+        "kg_wsp": _kg_wsp,
     }
 
 
@@ -1073,4 +1087,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_sequences_oracle_sql(),
         "kg_bgp": _kg_bgp_oracle(),
         "kg_asof": kg_asof_oracle_sql(),
+        "kg_wsp": wsp_oracle_sql(_kg_triples_oracle()),
     }
