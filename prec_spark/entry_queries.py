@@ -47,6 +47,14 @@ from .text.quality import (
 )
 from .incremental import kg_incremental, kg_incremental_oracle_sql
 from .temporal_kg import kg_asof, kg_asof_oracle_sql
+from .training_pairs import (
+    context_windows,
+    context_windows_oracle_sql,
+    entity_cooccur,
+    entity_cooccur_oracle_sql,
+    kg_negative_samples,
+    kg_negative_samples_oracle_sql,
+)
 from .text.bpe import (
     bpe_encode,
     bpe_encode_oracle_sql,
@@ -1005,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": _kg_bgp,
         "kg_asof": kg_asof,
         "kg_wsp": _kg_wsp,
+        "context_windows": context_windows,
+        "kg_negative_samples": kg_negative_samples,
+        "entity_cooccur": entity_cooccur,
     }
 
 
@@ -1088,4 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": _kg_bgp_oracle(),
         "kg_asof": kg_asof_oracle_sql(),
         "kg_wsp": wsp_oracle_sql(_kg_triples_oracle()),
+        "context_windows": context_windows_oracle_sql(),
+        "kg_negative_samples": kg_negative_samples_oracle_sql(),
+        "entity_cooccur": entity_cooccur_oracle_sql(),
     }
