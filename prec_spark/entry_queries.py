@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from .cached import cached_transcripts, shared_cached_df
 from .flagship import EX, flagship_oracle_sql, flagship_triples
 from .pg.export import cypher_create_statements, gremlin_insert_statements
+from .pg.graphml import graphml_lines, graphml_oracle_sql
 from .pg.projection import pg_edges, pg_nodes
 from .prec0 import prec0_quads
 from .text.mentions import (
@@ -878,6 +879,14 @@ WHERE t1.p = '<{EX}mentions>'
 """
 
 
+def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphML export of the property graph (see pg/graphml.py):
+    distributed one-line-per-element document assembly, value-gated
+    line set incl. XML escaping and endpoint wiring."""
+    t = cached_transcripts(spark, sf_dir)
+    return graphml_lines(spark, pg_nodes(t), pg_edges(t))
+
+
 def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round weighted shortest path to the nearest entity node
     (see plans/wsp.py: integer min-plus Bellman-Ford, portable md5 edge
@@ -1016,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": context_windows,
         "kg_negative_samples": kg_negative_samples,
         "entity_cooccur": entity_cooccur,
+        "pg_graphml": _pg_graphml,
     }
 
 
@@ -1102,4 +1112,5 @@ def oracle_sql() -> dict[str, str]:
         "context_windows": context_windows_oracle_sql(),
         "kg_negative_samples": kg_negative_samples_oracle_sql(),
         "entity_cooccur": entity_cooccur_oracle_sql(),
+        "pg_graphml": graphml_oracle_sql(_pg_nodes_oracle(), _pg_edges_oracle()),
     }
