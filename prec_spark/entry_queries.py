@@ -135,6 +135,7 @@ from .lakehouse import (
     lakehouse_time_travel_oracle_sql,
 )
 from .datasets import dataset_split, dataset_split_oracle_sql
+from .profile import table_profile, table_profile_oracle_sql
 from .sampling import (
     pack_sequences,
     pack_sequences_oracle_sql,
@@ -162,6 +163,7 @@ from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.bgp import match_and_bind
+from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.wsp import wsp, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
@@ -899,6 +901,17 @@ def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wsp(und)
 
 
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the KG instance graph (see
+    plans/kcore.py); shares the session-cached symmetric edge list."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return kcore(und)
+
+
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the KG instance graph (see
     plans/triangles.py: degree-oriented wedge join, hub-safe by
@@ -1026,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,
         "entity_cooccur": entity_cooccur,
         "pg_graphml": _pg_graphml,
+        "table_profile": table_profile,
+        "kg_kcore": _kg_kcore,
     }
 
 
@@ -1113,4 +1128,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": kg_negative_samples_oracle_sql(),
         "entity_cooccur": entity_cooccur_oracle_sql(),
         "pg_graphml": graphml_oracle_sql(_pg_nodes_oracle(), _pg_edges_oracle()),
+        "table_profile": table_profile_oracle_sql(),
+        "kg_kcore": kcore_oracle_sql(_kg_triples_oracle()),
     }

@@ -1,0 +1,74 @@
+"""Bounded k-core peeling over the KG instance graph.
+
+The k-core (maximal subgraph where every node keeps degree >= K) is
+the classic dense-region extractor: spam rings, well-connected
+conversation clusters, the "load-bearing" part of an entity graph.
+Peeling is iterative — remove every node with degree < K, which drops
+its neighbors' degrees, which can cascade — so like the other
+iterative plans this runs a FIXED number of peel rounds (the oracle
+mirrors exactly that contract) with an exact early exit: a peel that
+removes nothing is idempotent, so stopping early never changes a
+value.
+
+Per round: one degree aggregation + two semi-joins restricting the
+edge list to surviving endpoints; the edge list only shrinks, lineage
+is truncated every round. Output is the surviving (node, deg) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import graph_ctes
+
+K = 5
+PEELS = 6
+
+
+def kcore(und: DataFrame, k: int = K, peels: int = PEELS) -> DataFrame:
+    """(node, deg) of the subgraph surviving ``peels`` rounds of
+    degree-< k removal over the symmetric edge list ``und``."""
+    g = und.localCheckpoint()
+    prev_nodes = None
+    for _ in range(peels):
+        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
+        n = keep.count()
+        if prev_nodes is not None and n == prev_nodes:
+            break  # removal-free peel: every further round is a no-op
+        prev_nodes = n
+        k1 = keep.select(F.col("src").alias("n1"))
+        k2 = keep.select(F.col("src").alias("n2"))
+        g = (
+            g.join(k1, g["src"] == k1["n1"], "leftsemi")
+            .join(k2, g["dst"] == k2["n2"], "leftsemi")
+            .localCheckpoint()  # truncate lineage every round
+        )
+    return g.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+
+
+def kcore_oracle_sql(triples_sql: str, k: int = K, peels: int = PEELS) -> str:
+    """The identical peel rounds unrolled as MATERIALIZED CTEs."""
+    ctes = ["g0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, peels + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT src FROM g{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+g{i} AS MATERIALIZED (
+  SELECT g.src, g.dst
+  FROM g{i - 1} g
+  JOIN s{i} a ON g.src = a.src
+  JOIN s{i} b ON g.dst = b.src
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {graph_ctes(triples_sql)},
+{body}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM g{peels} GROUP BY src
+"""
