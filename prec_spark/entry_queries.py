@@ -164,7 +164,7 @@ from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.bgp import match_and_bind
 from .plans.kcore import kcore, kcore_oracle_sql
-from .plans.wsp import wsp, wsp_oracle_sql
+from .plans.wsp import wsp_ids, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
@@ -892,13 +892,16 @@ def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round weighted shortest path to the nearest entity node
     (see plans/wsp.py: integer min-plus Bellman-Ford, portable md5 edge
-    weights); shares the session-cached symmetric edge list."""
+    weights); shares BOTH the session-cached symmetric edge list and
+    the integer id encoding with kg_components/kg_bfs, so rounds
+    shuffle dense integers, not bnode strings."""
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
     )
-    return wsp(und)
+    ids, _iund = _kg_instance_graph(spark, sf_dir)
+    return wsp_ids(ids, und)
 
 
 def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,13 +54,34 @@ _W_SQL = (
 
 def wsp(und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     """(node, dist) over the symmetric string edge list; NULL dist =
-    not reachable within ``rounds`` relaxations of any entity seed."""
-    wund = und.select(
-        "src", "dst", edge_weight_col().alias("w")
-    ).localCheckpoint()  # re-read every round
-    nodes = wund.select(F.col("src").alias("node")).distinct()
-    dist = nodes.select(
-        "node",
+    not reachable within ``rounds`` relaxations of any entity seed.
+
+    Convenience wrapper: weights come from the STRING endpoints (the
+    portable hash), but the relaxation itself runs in a dense integer
+    id space (see :func:`wsp_ids`) — rounds shuffle 24-byte rows
+    instead of IRI/bnode strings, the same ~2.5x lever that components
+    and BFS use."""
+    from .components import cc_encode
+
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    ids, _iund = cc_encode(und, nodes)
+    return wsp_ids(ids, und, rounds=rounds)
+
+
+def wsp_ids(ids: DataFrame, und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
+    """Integer-space relaxation: ``ids`` is the (node, nid) mapping,
+    ``und`` the symmetric STRING edge list (weights hash from it)."""
+    s_ids = ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc"))
+    d_ids = ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst"))
+    wund = (
+        und.select("src", "dst", edge_weight_col().alias("w"))
+        .join(s_ids, "src")
+        .join(d_ids, "dst")
+        .select("isrc", "idst", "w")
+        .localCheckpoint()  # re-read every round
+    )
+    dist = ids.select(
+        F.col("nid").alias("node"),
         F.when(F.col("node").startswith(SEED_PREFIX), F.lit(0))
         .otherwise(F.lit(INF))
         .cast("long")
@@ -68,8 +89,8 @@ def wsp(und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     ).localCheckpoint()
     for _ in range(rounds):
         mn = (
-            wund.join(dist, wund["src"] == dist["node"])
-            .groupBy(F.col("dst").alias("node"))
+            wund.join(dist, wund["isrc"] == dist["node"])
+            .groupBy(F.col("idst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("mn"))
         )
         dist = (
@@ -81,8 +102,8 @@ def wsp(und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
             )
             .localCheckpoint()  # truncate lineage every round
         )
-    return dist.select(
-        "node",
+    return dist.join(ids, dist["node"] == ids["nid"]).select(
+        ids["node"].alias("node"),
         F.when(F.col("dist") >= INF, F.lit(None).cast("long"))
         .otherwise(F.col("dist"))
         .alias("dist"),
