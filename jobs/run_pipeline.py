@@ -43,6 +43,14 @@ def main():
         "<output>/quads, one parquet partition per named graph",
     )
     ap.add_argument(
+        "--maintain",
+        metavar="ICELITE_ROOT",
+        help="instead of a full run, build or incrementally refresh the "
+        "persisted provenance triple store for this IceLite transcripts "
+        "table under <output> (changelog-driven delete+insert; see "
+        "prec_spark/incremental.py)",
+    )
+    ap.add_argument(
         "--stream-merge",
         action="store_true",
         help="also replay the transcripts as an event-time-ordered "
@@ -56,6 +64,15 @@ def main():
     from prec_spark.session import build_session
 
     spark = build_session(app_name="prec-spark-pipeline")
+    if args.maintain:
+        from prec_spark.incremental import maintain_to_current
+
+        summary = maintain_to_current(
+            spark, args.maintain, args.output, sf_dir=args.input
+        )
+        print(json.dumps(summary))
+        spark.stop()
+        return
     triples, pipe = run_pipeline(
         spark, args.input, args.output, collect_lineage=not args.no_lineage
     )

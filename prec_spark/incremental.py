@@ -370,3 +370,74 @@ SELECT DISTINCT conv_id, s, p, o FROM (
   FROM l
 ) u
 """
+
+
+# --------------------------------------------------------------------------
+# CLI-facing maintenance: persist the store, refresh it per snapshot
+# --------------------------------------------------------------------------
+
+def maintain_to_current(
+    spark: SparkSession, table_root: str, workdir: str, sf_dir: str | None = None
+) -> dict:
+    """Build or incrementally refresh the persisted provenance store
+    for an IceLite transcripts table — the deployable form of the
+    maintenance job (jobs/run_pipeline.py --maintain).
+
+    State layout under ``workdir``: versioned store directories
+    (``kg_store_v{snapshot}``) plus a pointer file
+    (``kg_store_meta.json``). A refresh writes the NEW store directory
+    completely before swapping the pointer, so a crash mid-refresh
+    leaves the previous store intact and the job re-runnable — the
+    same write-then-swap discipline as the table format itself (stale
+    store versions are cleaned like expired snapshots).
+
+    Returns a summary dict: mode (build | maintain | noop), snapshot
+    ids, affected conversation count, and store row count."""
+    import json as _json
+
+    tbl = IceLiteTable(spark, table_root)
+    cur = tbl._meta()["current_snapshot_id"]
+    src = sf_dir or table_root
+    os.makedirs(workdir, exist_ok=True)
+    meta_path = os.path.join(workdir, "kg_store_meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+    except OSError:
+        meta = None
+
+    if meta is not None and meta["snapshot_id"] == cur:
+        rows = spark.read.parquet(meta["dir"]).count()
+        return {"mode": "noop", "snapshot_id": cur, "store_rows": rows}
+
+    out = os.path.join(workdir, f"kg_store_v{cur}")
+    if meta is None:
+        store = kg_triples_prov(spark, src, tbl.read())
+        store.write.mode("overwrite").parquet(out)
+        summary = {"mode": "build", "snapshot_id": cur}
+    else:
+        prev = spark.read.parquet(meta["dir"])
+        added, removed = tbl.read_changes(meta["snapshot_id"], cur)
+        affected = (
+            added.select("conv_id")
+            .unionByName(removed.select("conv_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fresh = kg_triples_prov(
+            spark, src, tbl.read().join(affected, "conv_id", "leftsemi")
+        )
+        kept = prev.join(affected, "conv_id", "left_anti")
+        kept.unionByName(fresh).write.mode("overwrite").parquet(out)
+        summary = {
+            "mode": "maintain",
+            "from_snapshot": meta["snapshot_id"],
+            "snapshot_id": cur,
+            "affected_convs": affected.count(),
+        }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"snapshot_id": cur, "dir": out}, fh)
+    os.replace(tmp, meta_path)  # atomic pointer swap AFTER the data
+    summary["store_rows"] = spark.read.parquet(out).count()
+    return summary

@@ -109,3 +109,49 @@ def test_incremental_recomputes_strict_subset(spark):
 
 def test_kg_incremental_oracle(spark):
     compare(kg_incremental(spark, SF_DIR), kg_incremental_oracle_sql(), SF_DIR)
+
+
+def test_maintain_to_current_lifecycle(spark, tmp_path):
+    """The deployable maintenance job: initial build, no-op rerun,
+    incremental refresh after append+merge, store always equal to a
+    full recompute, previous store version retained for crash safety."""
+    import os
+
+    from prec_spark.incremental import maintain_to_current
+
+    t = cached_transcripts(spark, SF_DIR).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    convs = [r.conv_id for r in t.select("conv_id").distinct().limit(40).collect()]
+    half, rest = convs[:20], convs[20:]
+    tbl = IceLiteTable.create(
+        spark, str(tmp_path / "tbl"), t.schema
+    )
+    tbl.append(t.filter(F.col("conv_id").isin(half)))
+
+    work = str(tmp_path / "store")
+    s1 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    assert s1["mode"] == "build" and s1["store_rows"] > 0
+    s2 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    assert s2["mode"] == "noop" and s2["store_rows"] == s1["store_rows"]
+
+    tbl.append(t.filter(F.col("conv_id").isin(rest)))
+    edited = t.filter(
+        F.col("conv_id").isin(half[:5]) & (F.col("turn_idx") == 0)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" [fix]")))
+    tbl.merge(edited, on=("conv_id", "turn_idx"))
+
+    s3 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    assert s3["mode"] == "maintain"
+    assert 0 < s3["affected_convs"] <= len(convs)
+    import json
+
+    with open(os.path.join(work, "kg_store_meta.json")) as fh:
+        meta = json.load(fh)
+    store = spark.read.parquet(meta["dir"])
+    full = kg_triples_prov(spark, SF_DIR, tbl.read())
+    assert store.exceptAll(full).count() == 0
+    assert full.exceptAll(store).count() == 0
+    # the edit is visible; the pre-refresh store version is retained
+    assert store.filter(F.col("o").endswith(' [fix]"')).count() > 0
+    assert os.path.isdir(os.path.join(work, f"kg_store_v{s1['snapshot_id']}"))
