@@ -106,12 +106,15 @@ from .multimodal.media import (
     media_gif_oracle_sql,
     media_adpcm_features,
     media_adpcm_oracle_sql,
+    media_mulaw_features,
+    media_mulaw_oracle_sql,
     media_jpeg_features,
     media_jpeg_oracle_sql,
     media_resize_oracle_sql,
     media_resized_features,
 )
 from .multimodal.video import video_features, video_features_oracle_sql
+from .streaming.joins import reply_latency, reply_latency_oracle_sql
 from .streaming.events import (
     events_percentiles,
     events_percentiles_oracle_sql,
@@ -121,6 +124,8 @@ from .streaming.events import (
 from .lakehouse import (
     lakehouse_delete,
     lakehouse_delete_oracle_sql,
+    lakehouse_evolution,
+    lakehouse_evolution_oracle_sql,
     lakehouse_hidden,
     lakehouse_hidden_oracle_sql,
     lakehouse_incremental,
@@ -164,6 +169,10 @@ from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
 from .plans.bgp import match_and_bind
 from .plans.kcore import kcore, kcore_oracle_sql
+from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
+from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
+from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
+from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
 from .plans.wsp import wsp_ids, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
@@ -947,6 +956,61 @@ def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_ids(ids, iund)
 
 
+def _kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style ``ex:next+`` property-path closure (horizon 16)
+    over the KG via min-plus iterative doubling (see plans/paths.py);
+    the oracle is an INDEPENDENT closed form (turn-index arithmetic),
+    not a mirrored replay."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    return path_closure(next_path_edges(kg, f"<{EX}next>"))
+
+
+def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style hash-seeded deterministic random-walk corpus
+    over the KG instance graph (see plans/walks.py); shares the
+    session-cached symmetric edge list with kg_components."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return random_walks(und, undc=_kg_undc(spark, sf_dir, und))
+
+
+def _kg_undc(spark: SparkSession, sf_dir: str, und: DataFrame) -> DataFrame:
+    """Session-cached degree-capped adjacency view, shared by the two
+    walk corpora (the cap window dominates their warm cost)."""
+    return shared_cached_df(
+        spark, f"kg_undc:{sf_dir}", lambda: capped_adjacency(und)
+    )
+
+
+def _kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (p, q)-biased walk corpus over the KG instance
+    graph (see plans/node2vec.py); shares the session-cached symmetric
+    edge list with kg_components / kg_random_walks."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return node2vec_walks(und, undc=_kg_undc(spark, sf_dir, und))
+
+
+def _kg_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded common-neighbor link-prediction features (CN / Jaccard
+    / resource-allocation, integer fixed-point — see plans/linkpred.py)
+    over the session-cached KG instance graph."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return linkpred_scores(und)
+
+
 def _kg_triples_oracle() -> str:
     return f"""
 SELECT DISTINCT s, p, o FROM (
@@ -1044,6 +1108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_graphml": _pg_graphml,
         "table_profile": table_profile,
         "kg_kcore": _kg_kcore,
+        "kg_path_star": _kg_path_star,
+        "kg_random_walks": _kg_random_walks,
+        "kg_node2vec": _kg_node2vec,
+        "kg_linkpred": _kg_linkpred,
+        "reply_latency": reply_latency,
+        "media_mulaw": media_mulaw_features,
+        "lakehouse_evolution": lakehouse_evolution,
     }
 
 
@@ -1133,4 +1204,11 @@ def oracle_sql() -> dict[str, str]:
         "pg_graphml": graphml_oracle_sql(_pg_nodes_oracle(), _pg_edges_oracle()),
         "table_profile": table_profile_oracle_sql(),
         "kg_kcore": kcore_oracle_sql(_kg_triples_oracle()),
+        "kg_path_star": path_star_oracle_sql(),
+        "kg_random_walks": walks_oracle_sql(_kg_triples_oracle()),
+        "kg_node2vec": node2vec_oracle_sql(_kg_triples_oracle()),
+        "kg_linkpred": linkpred_oracle_sql(_kg_triples_oracle()),
+        "reply_latency": reply_latency_oracle_sql(),
+        "media_mulaw": media_mulaw_oracle_sql(),
+        "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }

@@ -3,6 +3,8 @@ from .zorder import zorder_key, zorder_key_sql
 from .queries import (
     lakehouse_delete,
     lakehouse_delete_oracle_sql,
+    lakehouse_evolution,
+    lakehouse_evolution_oracle_sql,
     lakehouse_hidden,
     lakehouse_hidden_oracle_sql,
     lakehouse_incremental,
@@ -20,6 +22,8 @@ from .queries import (
 __all__ = [
     "IceLiteTable",
     "CommitConflict",
+    "lakehouse_evolution",
+    "lakehouse_evolution_oracle_sql",
     "lakehouse_incremental",
     "lakehouse_incremental_oracle_sql",
     "lakehouse_merge",

@@ -445,3 +445,89 @@ def lakehouse_hidden_oracle_sql() -> str:
     FROM events
     WHERE ts >= TIMESTAMP '{_HIDDEN_CUTOFF:%Y-%m-%d %H:%M:%S}'
     """
+
+
+_EVO_TABLES: dict[str, str] = {}
+
+
+def _evo_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a table that has been through full schema
+    evolution — the field-id resolution paths a long-lived production
+    table accumulates:
+
+      v1 CREATE  (conv_id, turn_idx, role, text, tool)
+      v2 APPEND  the even turns          (written under ORIGINAL names)
+      v3 RENAME  text -> content         (metadata-only)
+      v4 DROP    tool                    (metadata-only)
+      v5 APPEND  the odd turns as (.., content, sentiment)
+                                         (written under NEW names)
+    """
+    cached = _EVO_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        key = f"evo|{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        key = "evo|" + sf_dir
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "prec_spark_lakeevo_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    try:
+        with open(hint) as fh:
+            if int(fh.read().strip()) >= 5:
+                _EVO_TABLES[sf_dir] = root
+                return root
+    except (OSError, ValueError):
+        pass
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = cached_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    tbl = IceLiteTable.create(spark, root, t.schema)
+    tbl.append(t.filter(F.col("turn_idx") % 2 == 0))
+    tbl.rename_column("text", "content")
+    tbl.drop_column("tool")
+    tbl.append(
+        t.filter(F.col("turn_idx") % 2 == 1)
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.col("text").alias("content"),
+            (F.length("text") % 5).cast("int").alias("sentiment"),
+        )
+    )
+    _EVO_TABLES[sf_dir] = root
+    return root
+
+
+def lakehouse_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across a rename + drop + add history: pre-rename files
+    must surface their ``text`` bytes under ``content`` (field-id
+    resolution), the dropped ``tool`` column must be gone, and
+    ``sentiment`` is null-backfilled for the old files (coalesced to
+    -1 — the driver's row-sort comparator cannot order mixed None/int
+    tuples)."""
+    tbl = IceLiteTable(spark, _evo_table_root(spark, sf_dir))
+    df = tbl.read()
+    return df.withColumn(
+        "sentiment", F.coalesce(F.col("sentiment"), F.lit(-1)).cast("int")
+    )
+
+
+def lakehouse_evolution_oracle_sql() -> str:
+    return f"""
+    WITH t AS ({transcripts_oracle_sql()})
+    SELECT conv_id, turn_idx, role, text AS content,
+           CAST(-1 AS INTEGER) AS sentiment
+    FROM t WHERE turn_idx % 2 = 0
+    UNION ALL
+    SELECT conv_id, turn_idx, role, text AS content,
+           CAST(length(text) % 5 AS INTEGER) AS sentiment
+    FROM t WHERE turn_idx % 2 = 1
+    """

@@ -30,10 +30,16 @@ https://iceberg.apache.org/spec/):
   parquet (+ row-group pushdown inside each file); the residual
   predicate is re-applied as a DataFrame filter, so pruning is an
   optimization, never a correctness dependency.
-* **Schema evolution.** Appends may add columns; the union schema is
-  recorded per snapshot and old files read back with nulls for the
-  new columns (parquet-by-name resolution, the Iceberg add-column
-  path).
+* **Schema evolution with FIELD IDS.** Appends may add columns (the
+  union schema is recorded per snapshot; old files read back with
+  typed nulls), and ``rename_column`` / ``drop_column`` are
+  metadata-only commits: every column owns a permanent field id,
+  manifest entries record the name->id map they were written under,
+  and reads resolve through the id — files from before a rename are
+  scanned under their written name and aliased to the current one,
+  stats pruning translates predicate names per entry, and re-adding
+  a dropped column's name allocates a FRESH id so old bytes never
+  resurrect (the Iceberg spec's column-resolution contract).
 
 Partition spec: identity transform over string columns, plus HIDDEN
 partition transforms in the Iceberg sense — ``day(ts)``,
@@ -71,6 +77,12 @@ from pyspark.sql.types import StructField, StructType
 
 class CommitConflict(RuntimeError):
     """Raised when the optimistic metadata swap loses too many times."""
+
+
+def _identity_fields(schema: StructType) -> list[dict]:
+    """Positional field ids for tables created before field-id
+    tracking (every written name equals its current name)."""
+    return [{"id": i + 1, "name": f.name} for i, f in enumerate(schema.fields)]
 
 
 # ---------------------------------------------------------------- helpers
@@ -293,6 +305,16 @@ class IceLiteTable:
             "current_snapshot_id": 0,
             "snapshots": [],
             "schema": json.loads(schema.json()),
+            # Iceberg-style field ids: the PERMANENT identity of a
+            # column. Renames change only the name attached to an id;
+            # files written before the rename resolve through the id,
+            # and a re-added column name gets a FRESH id so old data
+            # never resurrects under it.
+            "fields": [
+                {"id": i + 1, "name": f.name}
+                for i, f in enumerate(schema.fields)
+            ],
+            "last_field_id": len(schema.fields),
         }
         t._write_version(1, meta, {"files": []},
                          f"snap-1-{uuid.uuid4().hex[:12]}.manifest.json")
@@ -470,12 +492,30 @@ class IceLiteTable:
                         f"{have.simpleString()} -> {f.dataType.simpleString()}"
                     )
 
+            # assign field ids to any columns this commit adds, and
+            # stamp the new entries with the name->id map they were
+            # written under (how reads survive later renames)
+            fields = [dict(f) for f in meta.get("fields")
+                      or _identity_fields(schema)]
+            last_id = meta.get("last_field_id", len(fields))
+            by_name = {f["name"]: f["id"] for f in fields}
+            for f in evolved.fields:
+                if f.name not in by_name:
+                    last_id += 1
+                    fields.append({"id": last_id, "name": f.name})
+                    by_name[f.name] = last_id
+            write_ids = {f.name: by_name[f.name] for f in evolved.fields}
+            for e in new_entries:
+                e["field_ids"] = write_ids
+
             new_version = version + 1
             sid = (meta["snapshots"][-1]["snapshot_id"] + 1
                    if meta["snapshots"] else 1)
             man_name = f"snap-{new_version}-{uuid.uuid4().hex[:12]}.manifest.json"
             new_meta = dict(meta)
             new_meta["schema"] = json.loads(evolved.json())
+            new_meta["fields"] = fields
+            new_meta["last_field_id"] = last_id
             new_meta["current_snapshot_id"] = sid
             new_meta["snapshots"] = meta["snapshots"] + [{
                 "snapshot_id": sid,
@@ -485,6 +525,7 @@ class IceLiteTable:
                 "total_files": len(files),
                 "total_rows": sum(e["rows"] for e in files),
                 "schema": json.loads(evolved.json()),
+                "fields": fields,
             }]
             hook = getattr(self, "_test_pre_commit", None)
             if hook is not None:
@@ -565,7 +606,8 @@ class IceLiteTable:
             # manifest-relative file path (input_file_name() cannot be
             # used here: the delete anti-join makes the plan multi-source)
             tagged = self._read_files(
-                base, schema, self._deletes(snap), with_pos=True
+                base, schema, self._deletes(snap), with_pos=True,
+                fields=snap.get("fields"),
             )
             hit = (
                 tagged.join(src_keys, on=keys, how="leftsemi")
@@ -575,7 +617,8 @@ class IceLiteTable:
             affected = [e for e in base if e["path"] in affected_paths]
             if affected:
                 survivors = self._read_files(
-                    affected, schema, self._deletes(snap)
+                    affected, schema, self._deletes(snap),
+                    fields=snap.get("fields"),
                 ).join(src_keys, on=keys, how="left_anti")
                 write_df = survivors.unionByName(
                     source, allowMissingColumns=True
@@ -611,7 +654,8 @@ class IceLiteTable:
         base = self._manifest(snap["manifest"])["files"]
         schema = StructType.fromJson(snap["schema"])
         matched = (
-            self._read_files(base, schema, self._deletes(snap), with_pos=True)
+            self._read_files(base, schema, self._deletes(snap),
+                             with_pos=True, fields=snap.get("fields"))
             .filter(condition)
             .select(
                 F.col("_del_path").alias("path"),
@@ -663,7 +707,8 @@ class IceLiteTable:
         base = self._manifest(snap["manifest"])["files"]
         schema = StructType.fromJson(snap["schema"])
         ordered = (
-            self._read_files(base, schema, self._deletes(snap))
+            self._read_files(base, schema, self._deletes(snap),
+                             fields=snap.get("fields"))
             .repartitionByRange(num_files, key)
             .sortWithinPartitions(key)
         )
@@ -671,6 +716,99 @@ class IceLiteTable:
         return self._commit(entries, "replace", None, schema,
                             replace_paths={e["path"] for e in base},
                             base_version=version)
+
+    # ------------------------------------------------ schema evolution
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
+        COLUMN): no data file is touched — the column's FIELD ID keeps
+        its identity and files written under the old name keep
+        resolving through it. On a 100 TB table this is the difference
+        between an O(1) commit and a full rewrite."""
+        def mutate(schema, fields, last_id):
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column: {old!r}")
+            if new in schema.fieldNames():
+                raise ValueError(f"column already exists: {new!r}")
+            new_schema = StructType([
+                StructField(new if f.name == old else f.name,
+                            f.dataType, f.nullable)
+                for f in schema.fields
+            ])
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            return new_schema, fields, last_id
+
+        return self._evolve_schema("rename-column", {old}, mutate)
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop: files keep the bytes, readers
+        stop projecting them. Re-adding the same NAME later allocates
+        a fresh field id, so the old bytes never resurrect under the
+        new column — the Iceberg drop/re-add contract."""
+        def mutate(schema, fields, last_id):
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column: {name!r}")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the last column")
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            return new_schema, [f for f in fields if f["name"] != name], last_id
+
+        return self._evolve_schema("drop-column", {name}, mutate)
+
+    def _evolve_schema(self, operation: str, touched: set[str],
+                       mutate) -> int:
+        """Optimistic metadata-only schema commit: same file set, new
+        snapshot carrying the evolved schema + field list (a fresh
+        manifest copy is written — snapshots never share manifest
+        files, so expiry can delete per-snapshot)."""
+        sources = {
+            _parse_spec_field(s)[1] for s in self._meta()["partition_spec"]
+        }
+        if touched & sources:
+            raise ValueError(
+                f"cannot evolve partition source column(s) {touched & sources}"
+            )
+        for _ in range(20):
+            version = self._version()
+            meta = self._meta(version)
+            schema = StructType.fromJson(meta["schema"])
+            fields = [dict(f) for f in meta.get("fields")
+                      or _identity_fields(schema)]
+            last_id = meta.get("last_field_id", len(fields))
+            new_schema, new_fields, last_id = mutate(schema, fields, last_id)
+            snap = self._snapshot(meta, None)
+            files = self._manifest(snap["manifest"])["files"] if snap else []
+            deletes = self._deletes(snap)
+            new_version = version + 1
+            sid = (meta["snapshots"][-1]["snapshot_id"] + 1
+                   if meta["snapshots"] else 1)
+            man_name = f"snap-{new_version}-{uuid.uuid4().hex[:12]}.manifest.json"
+            new_meta = dict(meta)
+            new_meta["schema"] = json.loads(new_schema.json())
+            new_meta["fields"] = new_fields
+            new_meta["last_field_id"] = last_id
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [{
+                "snapshot_id": sid,
+                "operation": operation,
+                "manifest": man_name,
+                "added_files": 0,
+                "total_files": len(files),
+                "total_rows": sum(e["rows"] for e in files),
+                "schema": json.loads(new_schema.json()),
+                "fields": new_fields,
+            }]
+            try:
+                self._write_version(new_version, new_meta,
+                                    {"files": files, "deletes": deletes},
+                                    man_name)
+                return sid
+            except FileExistsError:
+                continue  # lost the race: re-read and re-apply
+        raise CommitConflict(f"gave up evolving schema at {self.root}")
 
     # ------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int) -> dict:
@@ -755,7 +893,8 @@ class IceLiteTable:
             return None
         schema = StructType.fromJson(snap["schema"])
         spec = meta["partition_spec"]
-        packed = self._read_files(small, schema, self._deletes(snap))
+        packed = self._read_files(small, schema, self._deletes(snap),
+                                  fields=snap.get("fields"))
         # one task per packed partition value -> one output file each;
         # unpartitioned tables pack into a single file (transform specs
         # repartition on the derived expression, not a data column)
@@ -785,8 +924,27 @@ class IceLiteTable:
             return []
         files = self._manifest(snap["manifest"])["files"]
         spec = meta["partition_spec"]
+        # stats in a manifest entry are keyed by the names the file was
+        # WRITTEN with; translate each predicate column through its
+        # field id so pruning keeps working after a rename
+        id_by_name = {
+            f["name"]: f["id"]
+            for f in (snap.get("fields") or meta.get("fields") or ())
+        }
+        def entry_col(e: dict, col: str) -> str:
+            fmap = e.get("field_ids")
+            fid = id_by_name.get(col)
+            if not fmap or fid is None:
+                return col
+            for written, wid in fmap.items():
+                if wid == fid:
+                    return written
+            return col  # column younger than the file: stats absent -> keep
         for col, op, val in predicates:
-            files = [e for e in files if _maybe_matches(e, col, op, val, spec)]
+            files = [
+                e for e in files
+                if _maybe_matches(e, entry_col(e, col), op, val, spec)
+            ]
         return files
 
     def _deletes(self, snap: dict | None) -> list[dict]:
@@ -801,6 +959,7 @@ class IceLiteTable:
         schema: StructType,
         deletes: list[dict] | None = None,
         with_pos: bool = False,
+        fields: list[dict] | None = None,
     ) -> DataFrame:
         """Read data files, applying position deletes merge-on-read.
 
@@ -810,7 +969,17 @@ class IceLiteTable:
         path, in-file row index) — the data files themselves are never
         rewritten, which is the whole point of MoR deletes. Delete
         files whose targets are not among ``entries`` are skipped, so
-        a pruned scan never pays for deletes on files it won't read."""
+        a pruned scan never pays for deletes on files it won't read.
+
+        ``fields`` is the [{id, name}] list the requested ``schema``
+        names resolve under; each entry's ``field_ids`` records the
+        names IT was written with, so files from before a rename are
+        read under their written name and aliased to the current one
+        (Iceberg field-id resolution). Files predating a column get
+        typed NULLs; columns a file wrote but the schema dropped are
+        simply not projected. Entries sharing a name mapping are read
+        as ONE multi-path scan, so the common no-rename case stays a
+        single source."""
         pos_cols = ["_del_path", "_del_pos"]
         if not entries:
             out = self.spark.createDataFrame([], schema)
@@ -818,19 +987,27 @@ class IceLiteTable:
                 out = out.withColumn("_del_path", F.lit(None).cast("string"))
                 out = out.withColumn("_del_pos", F.lit(None).cast("long"))
             return out
-        paths = [os.path.join(self.root, e["path"]) for e in entries]
-        df = (
-            self.spark.read.option("basePath", self.data_dir)
-            .schema(schema)
-            .parquet(*paths)
-        )
+        id_by_name = {
+            f["name"]: f["id"] for f in (fields or _identity_fields(schema))
+        }
         need = {e["path"] for e in entries}
         live = [
             d for d in (deletes or []) if need.intersection(d["targets"])
         ]
-        cols = [f.name for f in schema.fields]
-        if not live and not with_pos:
-            return df.select(*cols)
+        want_pos = with_pos or bool(live)
+        # group entries by their (current name -> written name) mapping
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            fmap = e.get("field_ids")
+            if fmap:
+                name_by_id = {v: k for k, v in fmap.items()}
+                key = tuple(
+                    (f.name, name_by_id.get(id_by_name.get(f.name)))
+                    for f in schema.fields
+                )
+            else:
+                key = tuple((f.name, f.name) for f in schema.fields)
+            groups.setdefault(key, []).append(e)
         # normalize file:/x, file:///x, or bare /x to the same absolute
         # form, then strip the table root -> manifest-relative path
         rel = F.replace(
@@ -840,9 +1017,36 @@ class IceLiteTable:
             F.lit(self.root + "/"),
             F.lit(""),
         )
-        df = df.withColumn("_del_path", rel).withColumn(
-            "_del_pos", F.col("_metadata.row_index")
-        )
+        parts = []
+        for key, es in groups.items():
+            read_schema = StructType([
+                StructField(written, schema[cur].dataType, True)
+                for cur, written in key if written is not None
+            ])
+            if not read_schema.fields:
+                raise ValueError(
+                    "no current column exists in data file(s) "
+                    f"{[e['path'] for e in es[:3]]} — cannot project"
+                )
+            paths = [os.path.join(self.root, e["path"]) for e in es]
+            part = (
+                self.spark.read.option("basePath", self.data_dir)
+                .schema(read_schema)
+                .parquet(*paths)
+            )
+            sel = [
+                (F.col(written).alias(cur) if written is not None
+                 else F.lit(None).cast(schema[cur].dataType).alias(cur))
+                for cur, written in key
+            ]
+            if want_pos:
+                sel += [rel.alias("_del_path"),
+                        F.col("_metadata.row_index").alias("_del_pos")]
+            parts.append(part.select(*sel))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        cols = [f.name for f in schema.fields]
         if live:
             dpaths = [os.path.join(self.root, d["path"]) for d in live]
             dels = (
@@ -888,7 +1092,7 @@ class IceLiteTable:
         added = [e for e in to_entries if e["path"] not in from_files]
         return self._read_files(
             added, StructType.fromJson(to_snap["schema"]),
-            self._deletes(to_snap),
+            self._deletes(to_snap), fields=to_snap.get("fields"),
         )
 
     def read_changes(
@@ -926,9 +1130,12 @@ class IceLiteTable:
         return (
             self._read_files(
                 added, StructType.fromJson(to_snap["schema"]),
-                self._deletes(to_snap),
+                self._deletes(to_snap), fields=to_snap.get("fields"),
             ),
-            self._read_files(removed, from_schema, self._deletes(from_snap)),
+            self._read_files(
+                removed, from_schema, self._deletes(from_snap),
+                fields=(from_snap or to_snap).get("fields"),
+            ),
         )
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -938,7 +1145,8 @@ class IceLiteTable:
         schema = (StructType.fromJson(snap["schema"]) if snap
                   else StructType.fromJson(meta["schema"]))
         return self._read_files(
-            self.planned_files((), snapshot_id), schema, self._deletes(snap)
+            self.planned_files((), snapshot_id), schema, self._deletes(snap),
+            fields=(snap.get("fields") if snap else meta.get("fields")),
         )
 
     def scan(
@@ -953,6 +1161,8 @@ class IceLiteTable:
             (StructType.fromJson(snap["schema"]) if snap
              else self.current_schema()),
             self._deletes(snap),
+            fields=(snap.get("fields") if snap
+                    else self._meta().get("fields")),
         )
         for col, op, val in predicates:
             df = df.filter(_predicate_column(col, op, val))

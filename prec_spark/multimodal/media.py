@@ -44,6 +44,7 @@ from .codecs import (
 )
 from .adpcm import STEP_TABLE as ADPCM_STEP_TABLE
 from .adpcm import decode_wav_ima, encode_wav_ima
+from .mulaw import decode_wav_mulaw, encode_wav_mulaw
 from .jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_FEATURE_SCHEMA = (
@@ -535,4 +536,103 @@ SELECT doc_id, 'audio/adpcm' AS kind, CAST(n AS INT) AS n_samples,
        CAST((n + {ADPCM_BLOCK} - 1) // {ADPCM_BLOCK} AS INT) AS n_blocks,
        acc AS recon_abs_sum
 FROM r WHERE i = n - 1
+"""
+
+
+# ---------------------------------------------------------------- mu-law
+MEDIA_MULAW_SCHEMA = (
+    "doc_id BIGINT, kind STRING, n_samples INT, enc_sum BIGINT, "
+    "recon_abs_sum BIGINT, max_err INT"
+)
+
+
+def synth_mulaw_payload(doc_id: int) -> bytes:
+    """WAV/G.711 mu-law of n=96+id%64 PCM samples
+    s_i=((37*id+23*i)%65536)-32768 — full 16-bit swing so every one of
+    the 8 companding segments (and the clip branch) is exercised."""
+    n = 96 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    pcm = (((37 * doc_id + 23 * i) % 65536) - 32768).astype(np.int16)
+    return encode_wav_mulaw(8000, pcm)
+
+
+def media_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companded AUDIO round trip end-to-end: every document gets a
+    real G.711 mu-law WAV (format tag 0x0007, 2:1), the extractor
+    parses the RIFF chunks, expands the 8-bit codes back to PCM and
+    reports code/reconstruction aggregates plus the worst per-sample
+    error.  The oracle recomputes encode AND decode as a closed-form
+    integer CASE ladder per sample (mulaw.py docstring) — bias, clip,
+    segment ladder and ones-complement all gate-checked, no recursion
+    needed because the codec is stateless per sample."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 96 + did % 64
+                i = np.arange(n, dtype=np.int64)
+                orig = ((37 * did + 23 * i) % 65536) - 32768
+                payload = synth_mulaw_payload(did)
+                rate, pcm = decode_wav_mulaw(payload)
+                assert rate == 8000 and len(pcm) == n
+                codes = np.frombuffer(
+                    payload[payload.rindex(b"data") + 8:], dtype=np.uint8
+                )[:n]
+                err = np.abs(orig - pcm.astype(np.int64))
+                rows.append(
+                    (did, "audio/mulaw", n, int(codes.astype(np.int64).sum()),
+                     int(np.abs(pcm.astype(np.int64)).sum()), int(err.max()))
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_samples", "enc_sum",
+                         "recon_abs_sum", "max_err"],
+            )
+            for c in ("n_samples", "max_err"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return d.mapInPandas(extract, MEDIA_MULAW_SCHEMA)
+
+
+def media_mulaw_oracle_sql() -> str:
+    """Per-sample closed-form mu-law encode+decode in SQL."""
+    s = "(((37*doc_id + 23*i) % 65536) - 32768)"
+    mag = "(LEAST(CASE WHEN s < 0 THEN -s ELSE s END, 32635) + 132)"
+    e = ("(CASE WHEN mag >= 256 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 512 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 1024 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 2048 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 4096 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 8192 THEN 1 ELSE 0 END + "
+         "CASE WHEN mag >= 16384 THEN 1 ELSE 0 END)")
+    return f"""
+WITH docs AS (SELECT doc_id, 96 + doc_id % 64 AS n FROM documents),
+samp AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM docs
+),
+pre AS (
+  SELECT doc_id, n, i, s, {mag} AS mag,
+         CASE WHEN s < 0 THEN 1 ELSE 0 END AS sign
+  FROM (SELECT doc_id, n, i, CAST({s} AS BIGINT) AS s FROM samp) q
+),
+seg AS (
+  SELECT *, {e} AS e, (mag // (8 * (1 << {e}))) % 16 AS mant
+  FROM pre
+),
+codec AS (
+  SELECT doc_id, n, s,
+         255 - (sign*128 + e*16 + mant) AS code,
+         (CASE WHEN sign = 1 THEN -1 ELSE 1 END)
+           * (((mant*8 + 132) * (1 << e)) - 132) AS dec
+  FROM seg
+)
+SELECT doc_id, 'audio/mulaw' AS kind, CAST(n AS INT) AS n_samples,
+       CAST(SUM(code) AS BIGINT) AS enc_sum,
+       CAST(SUM(abs(dec)) AS BIGINT) AS recon_abs_sum,
+       CAST(MAX(abs(s - dec)) AS INT) AS max_err
+FROM codec GROUP BY doc_id, n
 """
