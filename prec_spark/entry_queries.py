@@ -172,6 +172,7 @@ from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
 from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
+from .plans.ppr import ppr_iterate, ppr_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
 from .plans.wsp import wsp_ids, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
@@ -833,6 +834,19 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iterate(ed, nodes)
 
 
+def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the canonical entity nodes
+    (see plans/ppr.py); shares the session-cached resource-edge list
+    with kg_pagerank, so the iterations are the only per-call work."""
+    edges = shared_cached_df(
+        spark,
+        f"kg_pr_edges:{sf_dir}",
+        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+    )
+    ed, nodes = pagerank_graph(edges)
+    return ppr_iterate(ed, nodes)
+
+
 def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     """Session-cached integer-encoded instance graph (ids, iund) —
     shared by kg_components and kg_bfs, so only the first caller pays
@@ -1113,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec": _kg_node2vec,
         "kg_linkpred": _kg_linkpred,
         "reply_latency": reply_latency,
+        "kg_ppr": _kg_ppr,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1209,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node2vec": node2vec_oracle_sql(_kg_triples_oracle()),
         "kg_linkpred": linkpred_oracle_sql(_kg_triples_oracle()),
         "reply_latency": reply_latency_oracle_sql(),
+        "kg_ppr": ppr_oracle_sql(_kg_triples_oracle()),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }
