@@ -73,6 +73,7 @@ from .text.analysis import (
     token_counts,
     token_counts_oracle_sql,
 )
+from .dedup.spans import dedup_spans, dedup_spans_oracle_sql
 from .dedup import (
     dedup_exact,
     dedup_exact_oracle_sql,
@@ -1128,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": _kg_linkpred,
         "reply_latency": reply_latency,
         "kg_ppr": _kg_ppr,
+        "dedup_spans": dedup_spans,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1225,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": linkpred_oracle_sql(_kg_triples_oracle()),
         "reply_latency": reply_latency_oracle_sql(),
         "kg_ppr": ppr_oracle_sql(_kg_triples_oracle()),
+        "dedup_spans": dedup_spans_oracle_sql(),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }
