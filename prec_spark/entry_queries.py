@@ -174,6 +174,7 @@ from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
 from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
 from .plans.ppr import ppr_iterate, ppr_oracle_sql
+from .plans.shapes import shape_profile, shapes_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
 from .plans.wsp import wsp_ids, wsp_oracle_sql
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
@@ -848,6 +849,16 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_iterate(ed, nodes)
 
 
+def _kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-style shape inference over the emitted KG (see
+    plans/shapes.py): per-class predicate cardinalities, the
+    post-migration audit a PG->RDF consumer starts from."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    return shape_profile(kg)
+
+
 def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     """Session-cached integer-encoded instance graph (ids, iund) —
     shared by kg_components and kg_bfs, so only the first caller pays
@@ -1130,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_latency": reply_latency,
         "kg_ppr": _kg_ppr,
         "dedup_spans": dedup_spans,
+        "kg_shapes": _kg_shapes,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1228,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "reply_latency": reply_latency_oracle_sql(),
         "kg_ppr": ppr_oracle_sql(_kg_triples_oracle()),
         "dedup_spans": dedup_spans_oracle_sql(),
+        "kg_shapes": shapes_oracle_sql(_kg_triples_oracle()),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }
