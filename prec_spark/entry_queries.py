@@ -168,7 +168,7 @@ from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
-from .plans.bgp import match_and_bind
+from .plans.bgp import match_and_bind, optional_bind
 from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
@@ -916,6 +916,35 @@ WHERE t1.p = '<{EX}mentions>'
 """
 
 
+def _kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL + FILTER over the KG: every turn of a hash-sampled
+    half of the conversations, with its tool binding where one exists
+    (most turns carry none — genuine OPTIONAL semantics, surfaced as
+    '' so the gate comparator never sorts mixed NULLs).  The OPTIONAL
+    is a left join on the shared ?turn variable (plans/bgp.py:
+    optional_bind); the FILTER is the portable md5-prefix hash."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    base = match_and_bind(kg, [("?turn", f"<{EX}inConversation>", "?conv")])
+    opt = optional_bind(base, kg, [("?turn", f"<{EX}usesTool>", "?tool")])
+    h = F.conv(F.substring(F.md5(F.col("conv")), 1, 8), 16, 10).cast("long")
+    return opt.filter(h % 2 == 0).select(
+        "turn", "conv", F.coalesce("tool", F.lit("")).alias("tool")
+    )
+
+
+def _kg_bgp_optional_oracle() -> str:
+    return f"""
+WITH kg AS MATERIALIZED ({_kg_triples_oracle()})
+SELECT t1.s AS turn, t1.o AS conv, COALESCE(t2.o, '') AS tool
+FROM kg t1
+LEFT JOIN kg t2 ON t2.p = '<{EX}usesTool>' AND t2.s = t1.s
+WHERE t1.p = '<{EX}inConversation>'
+  AND CAST(('0x' || substr(md5(t1.o), 1, 8)) AS BIGINT) % 2 = 0
+"""
+
+
 def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphML export of the property graph (see pg/graphml.py):
     distributed one-line-per-element document assembly, value-gated
@@ -1142,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _kg_ppr,
         "dedup_spans": dedup_spans,
         "kg_shapes": _kg_shapes,
+        "kg_bgp_optional": _kg_bgp_optional,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1241,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": ppr_oracle_sql(_kg_triples_oracle()),
         "dedup_spans": dedup_spans_oracle_sql(),
         "kg_shapes": shapes_oracle_sql(_kg_triples_oracle()),
+        "kg_bgp_optional": _kg_bgp_optional_oracle(),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }

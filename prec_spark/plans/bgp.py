@@ -70,6 +70,23 @@ def match_and_bind(quads: DataFrame, patterns: list[tuple[str, str, str]]) -> Da
     return out
 
 
+def optional_bind(
+    bindings: DataFrame,
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL OPTIONAL: extend each binding with the group's variables
+    when the group matches, keep the binding with NULLs when it does
+    not — a left outer join on the shared variables.  The group is
+    matched as its own conjunctive BGP first (OPTIONAL groups are
+    internally inner-joined; only their attachment is optional)."""
+    grp = match_and_bind(quads, patterns)
+    shared = [c for c in grp.columns if c in bindings.columns]
+    if not shared:
+        raise ValueError("OPTIONAL group shares no variable with the bindings")
+    return bindings.join(grp, on=shared, how="left")
+
+
 def exists_filter(
     bindings: DataFrame,
     quads: DataFrame,

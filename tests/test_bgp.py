@@ -107,3 +107,27 @@ def test_ntriples_sink_roundtrip(spark, tmp_path):
     text = "\n".join(r.value for r in spark.read.text(out).collect())
     reparsed = {(q.s.nt(), q.p.nt(), q.o.nt()) for q in parse_turtle(text)}
     assert reparsed == {(r.s, r.p, r.o) for r in df.collect()}
+
+
+def test_optional_bind(spark):
+    """SPARQL OPTIONAL: bindings without a group match survive with a
+    NULL; group-internal patterns stay conjunctive."""
+    from prec_spark.plans.bgp import optional_bind
+
+    q = quads_df(
+        spark,
+        "ex:t1 ex:in ex:c1 . ex:t2 ex:in ex:c1 . "
+        "ex:t1 ex:tool ex:search . ex:search ex:name ex:n1 .",
+    )
+    base = match_and_bind(q, [("?t", "<http://e/in>", "?c")])
+    got = {
+        (r.t, r.tool): r
+        for r in optional_bind(
+            base, q,
+            [("?t", "<http://e/tool>", "?tool"),
+             ("?tool", "<http://e/name>", "?nm")],
+        ).collect()
+    }
+    assert got[("<http://e/t1>", "<http://e/search>")].nm == "<http://e/n1>"
+    assert ("<http://e/t2>", None) in got  # unmatched -> NULL, row kept
+    assert len(got) == 2
