@@ -168,7 +168,7 @@ from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
-from .plans.bgp import match_and_bind, optional_bind
+from .plans.bgp import match_and_bind, minus_bind, optional_bind, union_bind
 from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
@@ -945,6 +945,44 @@ WHERE t1.p = '<{EX}inConversation>'
 """
 
 
+def _kg_bgp_union_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION + MINUS completing the BGP algebra (with #76 BGP, #95
+    OPTIONAL/FILTER, #85 property paths, and J2's EXISTS): turns that
+    mention an entity OR use a tool (multiplicity-preserving UNION,
+    as in the SPARQL algebra), MINUS every turn of a hash-sampled
+    quarter of the conversations."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    a = match_and_bind(kg, [("?turn", f"<{EX}mentions>", "?e")]).select(
+        "turn", F.lit("mention").alias("src")
+    )
+    b = match_and_bind(kg, [("?turn", f"<{EX}usesTool>", "?t")]).select(
+        "turn", F.lit("tool").alias("src")
+    )
+    h = F.conv(F.substring(F.md5(F.col("conv")), 1, 8), 16, 10).cast("long")
+    grp = match_and_bind(
+        kg, [("?turn", f"<{EX}inConversation>", "?conv")]
+    ).filter(h % 4 == 0)
+    return minus_bind(union_bind(a, b), grp)
+
+
+def _kg_bgp_union_minus_oracle() -> str:
+    return f"""
+WITH kg AS MATERIALIZED ({_kg_triples_oracle()})
+SELECT turn, src FROM (
+  SELECT s AS turn, 'mention' AS src FROM kg WHERE p = '<{EX}mentions>'
+  UNION ALL
+  SELECT s AS turn, 'tool' AS src FROM kg WHERE p = '<{EX}usesTool>'
+) u
+WHERE NOT EXISTS (
+  SELECT 1 FROM kg g
+  WHERE g.p = '<{EX}inConversation>' AND g.s = u.turn
+    AND CAST(('0x' || substr(md5(g.o), 1, 8)) AS BIGINT) % 4 = 0
+)
+"""
+
+
 def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphML export of the property graph (see pg/graphml.py):
     distributed one-line-per-element document assembly, value-gated
@@ -1172,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "kg_shapes": _kg_shapes,
         "kg_bgp_optional": _kg_bgp_optional,
+        "kg_bgp_union_minus": _kg_bgp_union_minus,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1272,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": dedup_spans_oracle_sql(),
         "kg_shapes": shapes_oracle_sql(_kg_triples_oracle()),
         "kg_bgp_optional": _kg_bgp_optional_oracle(),
+        "kg_bgp_union_minus": _kg_bgp_union_minus_oracle(),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }

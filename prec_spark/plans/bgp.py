@@ -87,6 +87,27 @@ def optional_bind(
     return bindings.join(grp, on=shared, how="left")
 
 
+def union_bind(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SPARQL UNION over binding frames with the same variables —
+    keeps multiplicity (UNION ALL), like the SPARQL algebra."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError("UNION operands bind different variables")
+    return a.unionByName(b)
+
+
+def minus_bind(bindings: DataFrame, group: DataFrame) -> DataFrame:
+    """SPARQL MINUS: drop bindings compatible with ANY group binding
+    on the shared variables (anti-join).  ``group`` is a prebuilt
+    binding frame so callers can FILTER it first, as SPARQL allows
+    inside a MINUS group."""
+    shared = [c for c in group.columns if c in bindings.columns]
+    if not shared:
+        raise ValueError("MINUS group shares no variable with the bindings")
+    return bindings.join(
+        group.select(*shared).distinct(), on=shared, how="left_anti"
+    )
+
+
 def exists_filter(
     bindings: DataFrame,
     quads: DataFrame,

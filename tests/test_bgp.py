@@ -131,3 +131,30 @@ def test_optional_bind(spark):
     assert got[("<http://e/t1>", "<http://e/search>")].nm == "<http://e/n1>"
     assert ("<http://e/t2>", None) in got  # unmatched -> NULL, row kept
     assert len(got) == 2
+
+
+def test_union_and_minus_bind(spark):
+    """UNION keeps multiplicity; MINUS drops bindings compatible with
+    the (possibly filtered) group on shared variables."""
+    from pyspark.sql import functions as F
+
+    from prec_spark.plans.bgp import minus_bind, union_bind
+
+    q = quads_df(
+        spark,
+        "ex:t1 ex:m ex:e1 . ex:t1 ex:m ex:e2 . ex:t2 ex:u ex:x . "
+        "ex:t1 ex:in ex:c1 . ex:t2 ex:in ex:c2 .",
+    )
+    a = match_and_bind(q, [("?t", "<http://e/m>", "?e")]).select(
+        "t", F.lit("m").alias("src")
+    )
+    b = match_and_bind(q, [("?t", "<http://e/u>", "?x")]).select(
+        "t", F.lit("u").alias("src")
+    )
+    u = union_bind(a, b)
+    assert u.count() == 3  # t1 twice (multiplicity), t2 once
+    grp = match_and_bind(q, [("?t", "<http://e/in>", "?c")]).filter(
+        F.col("c") == "<http://e/c1>"
+    )
+    got = [(r.t, r.src) for r in minus_bind(u, grp).collect()]
+    assert got == [("<http://e/t2>", "u")]
