@@ -869,6 +869,76 @@ class IceLiteTable:
             }
         raise CommitConflict(f"gave up expiring snapshots at {self.root}")
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Point the table back at an earlier snapshot's DATA as a NEW
+        commit (Iceberg's rollback_to_snapshot): history is preserved
+        — nothing is deleted, time travel still sees every snapshot —
+        and the schema stays CURRENT (old entries resolve through
+        their field-id maps, younger columns read as typed NULLs),
+        matching Iceberg's "rollback moves data, not schema" contract.
+        The target's manifest is copied under a fresh attempt-unique
+        name so snapshot expiry never has to reason about shared
+        manifest files."""
+        for _ in range(20):
+            version = self._version()
+            meta = self._meta(version)
+            target = self._snapshot(meta, snapshot_id)
+            if target is None:
+                raise ValueError("cannot roll back to the empty snapshot 0")
+            man = self._manifest(target["manifest"])
+            sid = meta["snapshots"][-1]["snapshot_id"] + 1
+            man_name = f"snap-{version + 1}-{uuid.uuid4().hex[:12]}.manifest.json"
+            new_meta = dict(meta)
+            new_meta["current_snapshot_id"] = sid
+            new_meta["snapshots"] = meta["snapshots"] + [{
+                "snapshot_id": sid,
+                "operation": "rollback",
+                "manifest": man_name,
+                "added_files": 0,
+                "total_files": len(man["files"]),
+                "total_rows": sum(e["rows"] for e in man["files"]),
+                "schema": meta["schema"],
+                "fields": meta["fields"],
+                "rolled_back_to": snapshot_id,
+            }]
+            try:
+                self._write_version(version + 1, new_meta, man, man_name)
+                return sid
+            except FileExistsError:
+                continue  # lost the race: re-resolve and retry
+        raise CommitConflict(f"gave up rolling back at {self.root}")
+
+    def remove_orphan_files(self, older_than_s: float = 0.0) -> int:
+        """Delete files under the table that NO snapshot references —
+        the leftovers of crashed writers (staged ``tmp-*`` dirs, data
+        files moved into place whose commit never landed).  Pass a
+        real ``older_than_s`` horizon in production (Iceberg defaults
+        to 3 days) so an in-flight writer's fresh files survive; 0
+        means "everything unreferenced", which is only safe when no
+        writer is running."""
+        import shutil
+        import time
+
+        meta = self._meta()
+        live: set[str] = set()
+        for s in meta["snapshots"]:
+            m = self._manifest(s["manifest"])
+            live |= {e["path"] for e in m["files"] + m.get("deletes", [])}
+        cutoff = time.time() - older_than_s
+        removed = 0
+        for walk_root, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                full = os.path.join(walk_root, f)
+                rel = os.path.relpath(full, self.root)
+                if rel not in live and os.path.getmtime(full) <= cutoff:
+                    os.remove(full)
+                    removed += 1
+        for d in glob.glob(os.path.join(self.root, "tmp-*")):
+            if os.path.getmtime(d) <= cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return removed
+
     def compact_files(self, min_rows: int) -> int | None:
         """Bin-pack small files: within each partition, files holding
         fewer than ``min_rows`` rows are read back and rewritten as one

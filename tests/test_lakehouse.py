@@ -521,3 +521,47 @@ def test_lakehouse_hidden_oracle(spark, sf_dir):
     )
 
     compare(lakehouse_hidden(spark, sf_dir), lakehouse_hidden_oracle_sql(), sf_dir)
+
+
+def test_rollback_restores_data_keeps_history_and_schema(spark, tbl):
+    """rollback points the table at an earlier snapshot's data as a
+    NEW commit: reads revert, time travel still sees everything, a
+    column added after the target reads as NULL (schema stays
+    current), and appends on top of the rollback work."""
+    s1 = tbl.append(_rows(spark, [1, 2], "a", 1))
+    tbl.append(_rows(spark, [3], "b", 2))
+    # evolve: add a column after s1
+    tbl.append(
+        spark.createDataFrame(
+            [(4, "c", datetime.datetime(1995, 1, 3), 7)],
+            "k int, cat string, ts timestamp, extra int",
+        ).coalesce(1)
+    )
+    sid = tbl.rollback(s1)
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2]
+    # schema stays current: the younger column reads as typed NULL
+    assert all(r.extra is None for r in tbl.read().collect())
+    # history preserved: time travel to the pre-rollback tip still works
+    assert sorted(r.k for r in tbl.read(snapshot_id=sid - 1).collect()) == [
+        1, 2, 3, 4,
+    ]
+    assert tbl.snapshots()[-1]["operation"] == "rollback"
+    tbl.append(_rows(spark, [9], "a", 4))
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2, 9]
+
+
+def test_remove_orphan_files(spark, tbl):
+    """Unreferenced data files and crashed-writer staging dirs are
+    deleted; referenced files survive and the table still reads."""
+    import os
+
+    tbl.append(_rows(spark, [1, 2], "a", 1))
+    orphan = os.path.join(tbl.data_dir, "cat=a", "c9999-00000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    os.makedirs(os.path.join(tbl.root, "tmp-deadbeef"), exist_ok=True)
+    removed = tbl.remove_orphan_files()
+    assert removed == 2
+    assert not os.path.exists(orphan)
+    assert sorted(r.k for r in tbl.read().collect()) == [1, 2]
+    assert tbl.remove_orphan_files() == 0
