@@ -73,6 +73,7 @@ from .text.analysis import (
     token_counts,
     token_counts_oracle_sql,
 )
+from .ann.quantize import embedding_quantize, embedding_quantize_oracle_sql
 from .dedup.spans import dedup_spans, dedup_spans_oracle_sql
 from .dedup import (
     dedup_exact,
@@ -1211,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shapes": _kg_shapes,
         "kg_bgp_optional": _kg_bgp_optional,
         "kg_bgp_union_minus": _kg_bgp_union_minus,
+        "embedding_quantize": embedding_quantize,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1312,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shapes": shapes_oracle_sql(_kg_triples_oracle()),
         "kg_bgp_optional": _kg_bgp_optional_oracle(),
         "kg_bgp_union_minus": _kg_bgp_union_minus_oracle(),
+        "embedding_quantize": embedding_quantize_oracle_sql(),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }
