@@ -174,6 +174,7 @@ from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
 from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
+from .plans.degree import degree_histogram, degree_oracle_sql
 from .plans.ppr import ppr_iterate, ppr_oracle_sql
 from .plans.shapes import shape_profile, shapes_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
@@ -850,6 +851,18 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_iterate(ed, nodes)
 
 
+def _kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the instance graph (see
+    plans/degree.py; exact bit-length buckets, no floating log2) over
+    the session-cached symmetric edge list."""
+    und = shared_cached_df(
+        spark,
+        f"kg_cc_und:{sf_dir}",
+        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+    )
+    return degree_histogram(und)
+
+
 def _kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-style shape inference over the emitted KG (see
     plans/shapes.py): per-class predicate cardinalities, the
@@ -1213,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _kg_bgp_optional,
         "kg_bgp_union_minus": _kg_bgp_union_minus,
         "embedding_quantize": embedding_quantize,
+        "kg_degree_dist": _kg_degree_dist,
         "media_mulaw": media_mulaw_features,
         "lakehouse_evolution": lakehouse_evolution,
     }
@@ -1315,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_optional": _kg_bgp_optional_oracle(),
         "kg_bgp_union_minus": _kg_bgp_union_minus_oracle(),
         "embedding_quantize": embedding_quantize_oracle_sql(),
+        "kg_degree_dist": degree_oracle_sql(_kg_triples_oracle()),
         "media_mulaw": media_mulaw_oracle_sql(),
         "lakehouse_evolution": lakehouse_evolution_oracle_sql(),
     }
