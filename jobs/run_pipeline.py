@@ -51,6 +51,16 @@ def main():
         "prec_spark/incremental.py)",
     )
     ap.add_argument(
+        "--rollback-store",
+        nargs="?",
+        const=-1,
+        type=int,
+        metavar="SNAPSHOT",
+        help="point the persisted --maintain store under <output> back "
+        "at a retained earlier version (default: the previous one) via "
+        "an atomic pointer swap; a later --maintain rolls forward again",
+    )
+    ap.add_argument(
         "--stream-merge",
         action="store_true",
         help="also replay the transcripts as an event-time-ordered "
@@ -62,6 +72,14 @@ def main():
 
     from prec_spark.pipeline import run_pipeline
     from prec_spark.session import build_session
+
+    if args.rollback_store is not None:
+        # pure metadata swap: no Spark session needed
+        from prec_spark.incremental import rollback_store
+
+        to = None if args.rollback_store == -1 else args.rollback_store
+        print(json.dumps(rollback_store(args.output, to)))
+        return
 
     spark = build_session(app_name="prec-spark-pipeline")
     if args.maintain:

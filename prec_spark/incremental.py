@@ -376,6 +376,43 @@ SELECT DISTINCT conv_id, s, p, o FROM (
 # CLI-facing maintenance: persist the store, refresh it per snapshot
 # --------------------------------------------------------------------------
 
+def rollback_store(workdir: str, to_snapshot: int | None = None) -> dict:
+    """Point the persisted store back at a RETAINED earlier version
+    (``kg_store_v{N}``, kept by maintain_to_current exactly for this)
+    — a pure atomic pointer swap, no data movement, mirroring the
+    table format's own rollback.  Default: the version just before the
+    current pointer.  A later --maintain rolls FORWARD again: it reads
+    the changelog from the rolled-back snapshot to the table head, so
+    the store converges to the full recompute as always."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    meta_path = os.path.join(workdir, "kg_store_meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    versions = sorted(
+        int(m.group(1))
+        for d in _glob.glob(os.path.join(workdir, "kg_store_v*"))
+        if (m := _re.fullmatch(r"kg_store_v(\d+)", os.path.basename(d)))
+    )
+    if to_snapshot is None:
+        earlier = [v for v in versions if v < meta["snapshot_id"]]
+        if not earlier:
+            raise ValueError("no earlier store version retained to roll back to")
+        to_snapshot = earlier[-1]
+    if to_snapshot not in versions:
+        raise ValueError(
+            f"store version {to_snapshot} not retained (have {versions})"
+        )
+    out = os.path.join(workdir, f"kg_store_v{to_snapshot}")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"snapshot_id": to_snapshot, "dir": out}, fh)
+    os.replace(tmp, meta_path)  # atomic, same discipline as the refresh
+    return {"mode": "rollback", "snapshot_id": to_snapshot, "dir": out}
+
+
 def maintain_to_current(
     spark: SparkSession, table_root: str, workdir: str, sf_dir: str | None = None
 ) -> dict:

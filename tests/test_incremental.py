@@ -155,3 +155,46 @@ def test_maintain_to_current_lifecycle(spark, tmp_path):
     # the edit is visible; the pre-refresh store version is retained
     assert store.filter(F.col("o").endswith(' [fix]"')).count() > 0
     assert os.path.isdir(os.path.join(work, f"kg_store_v{s1['snapshot_id']}"))
+
+
+def test_rollback_store_and_roll_forward(spark, tmp_path):
+    """Store rollback is an atomic pointer swap to a retained version;
+    a later --maintain rolls forward from there and converges to the
+    full recompute again."""
+    import json
+    import os
+
+    import pytest
+
+    from prec_spark.incremental import maintain_to_current, rollback_store
+
+    t = cached_transcripts(spark, SF_DIR).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    convs = [r.conv_id for r in t.select("conv_id").distinct().limit(20).collect()]
+    tbl = IceLiteTable.create(spark, str(tmp_path / "tbl"), t.schema)
+    tbl.append(t.filter(F.col("conv_id").isin(convs[:10])))
+    work = str(tmp_path / "store")
+    s1 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    with pytest.raises(ValueError):
+        rollback_store(work)  # only one version: nothing earlier
+    tbl.append(t.filter(F.col("conv_id").isin(convs[10:])))
+    s2 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    assert s2["mode"] == "maintain"
+
+    rb = rollback_store(work)
+    assert rb["snapshot_id"] == s1["snapshot_id"]
+    with open(os.path.join(work, "kg_store_meta.json")) as fh:
+        assert json.load(fh)["dir"].endswith(f"kg_store_v{s1['snapshot_id']}")
+    assert (
+        spark.read.parquet(rb["dir"]).count() == s1["store_rows"]
+    )  # rolled-back reads see the old store
+
+    s3 = maintain_to_current(spark, str(tmp_path / "tbl"), work, sf_dir=SF_DIR)
+    assert s3["mode"] == "maintain" and s3["store_rows"] == s2["store_rows"]
+    store = spark.read.parquet(
+        json.load(open(os.path.join(work, "kg_store_meta.json")))["dir"]
+    )
+    full = kg_triples_prov(spark, SF_DIR, tbl.read())
+    assert store.exceptAll(full).count() == 0
+    assert full.exceptAll(store).count() == 0
