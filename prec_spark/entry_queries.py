@@ -169,7 +169,14 @@ from .streaming.kg import kg_stream_triples
 from .streaming.sessions import sessionize_batch, sessionize_oracle_sql
 from .named_graphs import named_graph_oracle_sql, named_graph_quads
 from .plans.bfs import bfs_ids, bfs_oracle_sql
-from .plans.bgp import match_and_bind, minus_bind, optional_bind, union_bind
+from .plans.bgp import (
+    aggregate_bind,
+    match_and_bind,
+    minus_bind,
+    optional_bind,
+    slice_bind,
+    union_bind,
+)
 from .plans.kcore import kcore, kcore_oracle_sql
 from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
@@ -997,6 +1004,87 @@ WHERE NOT EXISTS (
 """
 
 
+def _kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY / aggregates / HAVING completing the SPARQL algebra
+    surface (with #76 BGP, #95 OPTIONAL/FILTER, #96 UNION/MINUS): per
+    entity name, how many mention bindings, distinct mentioning turns
+    and distinct conversations it appears in, HAVING >= 2 distinct
+    turns — the 'which entities recur' question every KG consumer
+    asks first.  One hash aggregate over the 3-pattern binding frame
+    (plans/bgp.py:aggregate_bind); counts are exact integers, so the
+    result is hash-portable against the DuckDB oracle."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    b = match_and_bind(kg, [
+        ("?turn", f"<{EX}mentions>", "?entity"),
+        ("?entity", f"<{EX}name>", "?name"),
+        ("?turn", f"<{EX}inConversation>", "?conv"),
+    ])
+    return aggregate_bind(
+        b,
+        ["name"],
+        {
+            "n_mentions": F.count(F.lit(1)),
+            "n_turns": F.countDistinct("turn"),
+            "n_convs": F.countDistinct("conv"),
+            "first_turn": F.min("turn"),
+        },
+        having=F.col("n_turns") >= 2,
+    )
+
+
+def _kg_bgp_agg_oracle() -> str:
+    return f"""
+WITH kg AS MATERIALIZED ({_kg_triples_oracle()})
+SELECT t2.o AS name,
+       COUNT(*) AS n_mentions,
+       COUNT(DISTINCT t1.s) AS n_turns,
+       COUNT(DISTINCT t3.o) AS n_convs,
+       MIN(t1.s) AS first_turn
+FROM kg t1
+JOIN kg t2 ON t2.p = '<{EX}name>' AND t2.s = t1.o
+JOIN kg t3 ON t3.p = '<{EX}inConversation>' AND t3.s = t1.s
+WHERE t1.p = '<{EX}mentions>'
+GROUP BY t2.o
+HAVING COUNT(DISTINCT t1.s) >= 2
+"""
+
+
+def _kg_bgp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (the SPARQL Slice operator) stacked on #99's
+    aggregation: the 5 most-mentioned entity names (5 < the 8-name
+    dictionary, so the Slice genuinely cuts).  The order spec
+    is total (count DESC, then the unique name ASC) so the selected
+    row set is deterministic under ties; orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition k-row heaps, no global sort
+    shuffle, the same plan shape the gate asserts for ann seeding."""
+    kg = shared_cached_df(
+        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
+    )
+    b = match_and_bind(kg, [
+        ("?turn", f"<{EX}mentions>", "?entity"),
+        ("?entity", f"<{EX}name>", "?name"),
+    ])
+    agg = aggregate_bind(b, ["name"], {"n_mentions": F.count(F.lit(1))})
+    return slice_bind(
+        agg, [F.col("n_mentions").desc(), F.col("name").asc()], 5
+    )
+
+
+def _kg_bgp_topk_oracle() -> str:
+    return f"""
+WITH kg AS MATERIALIZED ({_kg_triples_oracle()})
+SELECT t2.o AS name, COUNT(*) AS n_mentions
+FROM kg t1
+JOIN kg t2 ON t2.p = '<{EX}name>' AND t2.s = t1.o
+WHERE t1.p = '<{EX}mentions>'
+GROUP BY t2.o
+ORDER BY n_mentions DESC, name ASC
+LIMIT 5
+"""
+
+
 def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphML export of the property graph (see pg/graphml.py):
     distributed one-line-per-element document assembly, value-gated
@@ -1225,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shapes": _kg_shapes,
         "kg_bgp_optional": _kg_bgp_optional,
         "kg_bgp_union_minus": _kg_bgp_union_minus,
+        "kg_bgp_agg": _kg_bgp_agg,
+        "kg_bgp_topk": _kg_bgp_topk,
         "embedding_quantize": embedding_quantize,
         "kg_degree_dist": _kg_degree_dist,
         "media_mulaw": media_mulaw_features,
@@ -1327,6 +1417,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": dedup_spans_oracle_sql(),
         "kg_shapes": shapes_oracle_sql(_kg_triples_oracle()),
         "kg_bgp_optional": _kg_bgp_optional_oracle(),
+        "kg_bgp_agg": _kg_bgp_agg_oracle(),
+        "kg_bgp_topk": _kg_bgp_topk_oracle(),
         "kg_bgp_union_minus": _kg_bgp_union_minus_oracle(),
         "embedding_quantize": embedding_quantize_oracle_sql(),
         "kg_degree_dist": degree_oracle_sql(_kg_triples_oracle()),

@@ -108,6 +108,39 @@ def minus_bind(bindings: DataFrame, group: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_bind(
+    bindings: DataFrame,
+    group_vars: list[str],
+    aggs: dict[str, Column],
+    having: Column | None = None,
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates + HAVING over a binding frame —
+    the algebra's Group/Aggregation operators.  ``aggs`` maps output
+    variable name -> aggregate Column (COUNT/SUM/MIN/MAX/...); the
+    result binds ``group_vars`` plus one column per aggregate.
+    ``having`` filters the aggregated frame (SPARQL HAVING).  This is
+    a single hash aggregate: Catalyst plans a map-side partial
+    aggregate per partition, so only the (group, partial) pairs
+    shuffle — the binding frame itself never moves."""
+    out = bindings.groupBy(*group_vars).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return out.filter(having) if having is not None else out
+
+
+def slice_bind(
+    bindings: DataFrame, order: list[Column], limit: int
+) -> DataFrame:
+    """SPARQL ORDER BY + LIMIT (the algebra's OrderBy + Slice).  The
+    order spec must be a total order (add a unique variable as the
+    last key) or the selected row SET is nondeterministic under ties.
+    orderBy().limit() compiles to TakeOrderedAndProject: each
+    partition keeps a k-row heap and only k rows per partition reach
+    the driver-side merge — no global sort shuffle, so top-k stays
+    cheap at any corpus size."""
+    return bindings.orderBy(*order).limit(limit)
+
+
 def exists_filter(
     bindings: DataFrame,
     quads: DataFrame,

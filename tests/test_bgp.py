@@ -158,3 +158,69 @@ def test_union_and_minus_bind(spark):
     )
     got = [(r.t, r.src) for r in minus_bind(u, grp).collect()]
     assert got == [("<http://e/t2>", "u")]
+
+
+def test_aggregate_bind(spark):
+    """SPARQL GROUP BY + aggregates + HAVING: counts are over binding
+    multiplicity, DISTINCT counts over distinct bound terms, and
+    HAVING filters the aggregated frame."""
+    from pyspark.sql import functions as F
+
+    from prec_spark.plans.bgp import aggregate_bind
+
+    q = quads_df(
+        spark,
+        "ex:t1 ex:m ex:e1 . ex:t2 ex:m ex:e1 . ex:t2 ex:m ex:e2 . "
+        "ex:t3 ex:m ex:e1 . ex:e1 ex:name \"A\" . ex:e2 ex:name \"B\" .",
+    )
+    b = match_and_bind(
+        q,
+        [("?t", "<http://e/m>", "?e"), ("?e", "<http://e/name>", "?n")],
+    )
+    got = {
+        r.n: (r.cnt, r.n_turns, r.first)
+        for r in aggregate_bind(
+            b,
+            ["n"],
+            {
+                "cnt": F.count(F.lit(1)),
+                "n_turns": F.countDistinct("t"),
+                "first": F.min("t"),
+            },
+        ).collect()
+    }
+    assert got == {
+        '"A"': (3, 3, "<http://e/t1>"),
+        '"B"': (1, 1, "<http://e/t2>"),
+    }
+    kept = aggregate_bind(
+        b,
+        ["n"],
+        {"n_turns": F.countDistinct("t")},
+        having=F.col("n_turns") >= 2,
+    ).collect()
+    assert [(r.n, r.n_turns) for r in kept] == [('"A"', 3)]
+
+
+def test_slice_bind_total_order(spark):
+    """ORDER BY + LIMIT: with a total order spec the selected row set
+    is deterministic under ties."""
+    from pyspark.sql import functions as F
+
+    from prec_spark.plans.bgp import aggregate_bind, slice_bind
+
+    q = quads_df(
+        spark,
+        "ex:t1 ex:m ex:e1 . ex:t2 ex:m ex:e1 . "
+        "ex:t1 ex:m ex:e2 . ex:t2 ex:m ex:e3 .",
+    )
+    b = match_and_bind(q, [("?t", "<http://e/m>", "?e")])
+    agg = aggregate_bind(b, ["e"], {"cnt": F.count(F.lit(1))})
+    top2 = slice_bind(
+        agg, [F.col("cnt").desc(), F.col("e").asc()], 2
+    ).collect()
+    # e1 has cnt=2; e2/e3 tie at 1 -> the name tiebreak picks e2
+    assert [(r.e, r.cnt) for r in top2] == [
+        ("<http://e/e1>", 2),
+        ("<http://e/e2>", 1),
+    ]
