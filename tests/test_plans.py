@@ -258,3 +258,23 @@ def test_ann_lsh_is_bucket_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_slice_bind_is_take_ordered(spark):
+    """SPARQL ORDER BY + LIMIT (plans/bgp.py:slice_bind) must compile
+    to TakeOrderedAndProject (per-partition k-row heaps) — never a
+    global sort shuffle or a no-partition Window."""
+    from pyspark.sql import functions as F
+
+    from prec_spark.plans.bgp import aggregate_bind, slice_bind
+
+    b = spark.createDataFrame(
+        [("t%d" % (i % 7), "e%d" % (i % 3)) for i in range(50)],
+        "t STRING, e STRING",
+    )
+    agg = aggregate_bind(b, ["e"], {"cnt": F.count(F.lit(1))})
+    plan = plan_of(
+        slice_bind(agg, [F.col("cnt").desc(), F.col("e").asc()], 2)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
