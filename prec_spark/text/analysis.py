@@ -32,8 +32,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
         F.round((F.length("text") - n_tokens + 1) / n_tokens, 4).alias("avg_token_len"),
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(
@@ -75,7 +75,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     return d.select(
         "doc_id",
-        hits.alias("marker_hits"),
+        hits.cast("long").alias("marker_hits"),
         F.when(hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("predicted_lang"),
     )
 

@@ -146,9 +146,12 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(round, lhs, rhs, freq): the trained merge table, one row per
     round in training order."""
     merges, _words = trained(spark, sf_dir)
+    # freq double: the oracle's SUM(freq) is a DuckDB HUGEINT, which
+    # reaches the driver's comparison as float64 (the quality_gopher
+    # round-5 lesson applied before the driver checks this query)
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, freq long"
-    )
+    ).withColumn("freq", F.col("freq").cast("double"))
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,7 +179,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "chars_per_token_x100",
-            F.expr("(100 * n_chars) div n_tokens"),
+            # double: the oracle expression is HUGEINT (see bpe_train)
+            F.expr("(100 * n_chars) div n_tokens").cast("double"),
         )
     )
 

@@ -53,15 +53,15 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     base = d.select(
         "doc_id",
-        F.size(toks).alias("n_words"),
+        F.size(toks).cast("long").alias("n_words"),
         # single-space tokenized: total token chars = n_chars - (n-1)
         F.expr(
             "(100 * (length(text) - size(split(text, ' ')) + 1))"
             " div size(split(text, ' '))"
         ).alias("mean_word_len_x100"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
-            "n_stop"
-        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
         toks.alias("t"),
     )
     # bigram strings (tokens never contain spaces, so the join is
@@ -92,14 +92,22 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_pct = F.when(F.col("n_bigrams") == 0, F.lit(0)).otherwise(
         F.expr("(100 * max_bigram_count) div n_bigrams")
     )
-    return out.withColumn("dup_bigram_pct", dup_pct).withColumn(
-        "keep",
-        (F.col("n_words") >= MIN_WORDS)
-        & (F.col("n_words") <= MAX_WORDS)
-        & (F.col("mean_word_len_x100") >= MIN_MWL_X100)
-        & (F.col("mean_word_len_x100") <= MAX_MWL_X100)
-        & (F.col("n_stop") >= MIN_STOP_HITS)
-        & (F.col("dup_bigram_pct") <= MAX_DUP_BIGRAM_PCT),
+    return (
+        out.withColumn("dup_bigram_pct", dup_pct)
+        .withColumn(
+            "keep",
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("n_words") <= MAX_WORDS)
+            & (F.col("mean_word_len_x100") >= MIN_MWL_X100)
+            & (F.col("mean_word_len_x100") <= MAX_MWL_X100)
+            & (F.col("n_stop") >= MIN_STOP_HITS)
+            & (F.col("dup_bigram_pct") <= MAX_DUP_BIGRAM_PCT),
+        )
+        # the oracle's sum()/`//` emit HUGEINT, which reaches the
+        # driver's comparison as float64 — emit double so the typed
+        # hash agrees (the round-5 quality_gopher red row)
+        .withColumn("n_bigrams", F.col("n_bigrams").cast("double"))
+        .withColumn("dup_bigram_pct", F.col("dup_bigram_pct").cast("double"))
     )
 
 
