@@ -185,7 +185,7 @@ from .plans.degree import degree_histogram, degree_oracle_sql
 from .plans.ppr import ppr_iterate, ppr_oracle_sql
 from .plans.shapes import shape_profile, shapes_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
-from .plans.wsp import wsp_ids, wsp_oracle_sql
+from .plans.wsp import wsp_ids, wsp_oracle_sql, wsp_weighted_edges
 from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
@@ -193,6 +193,7 @@ from .plans.components import (
     cc_iterate_ids,
     components_oracle_sql,
     instance_edges,
+    selfloop_edges,
 )
 from .plans.pagerank import (
     pagerank_graph,
@@ -881,9 +882,12 @@ def _kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_instance_graph(spark: SparkSession, sf_dir: str):
-    """Session-cached integer-encoded instance graph (ids, iund) —
-    shared by kg_components and kg_bfs, so only the first caller pays
-    the KG materialization and the id encoding."""
+    """Session-cached integer-encoded instance graph (ids, iund,
+    iund_sl) — shared by kg_components and kg_bfs, so only the first
+    caller pays the KG materialization and the id encoding.  ``iund_sl``
+    is the self-loop-augmented, idst-partitioned round frame that makes
+    each propagation round one shuffle-free stage (plans/components.py
+    selfloop_edges)."""
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
@@ -903,7 +907,12 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
         .join(ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst")), "dst")
         .select("isrc", "idst"),
     )
-    return ids, iund
+    iund_sl = shared_cached_df(
+        spark,
+        f"kg_cc_iund_sl:{sf_dir}",
+        lambda: selfloop_edges(ids, iund),
+    )
+    return ids, iund, iund_sl
 
 
 def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,8 +1113,13 @@ def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
     )
-    ids, _iund = _kg_instance_graph(spark, sf_dir)
-    return wsp_ids(ids, und)
+    ids, _iund, _iund_sl = _kg_instance_graph(spark, sf_dir)
+    wund_sl = shared_cached_df(
+        spark,
+        f"kg_wsp_wund_sl:{sf_dir}",
+        lambda: wsp_weighted_edges(ids, und),
+    )
+    return wsp_ids(ids, und, wund_sl=wund_sl)
 
 
 def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,16 +1153,16 @@ def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exact sum-based early exit and a loud non-convergence
     failure.  The integer-encoded graph (the frames every round
     re-reads) is session-cached, so warm calls pay only the rounds."""
-    ids, iund = _kg_instance_graph(spark, sf_dir)
-    return cc_iterate_ids(ids, iund)
+    ids, iund, iund_sl = _kg_instance_graph(spark, sf_dir)
+    return cc_iterate_ids(ids, iund, iund_sl=iund_sl)
 
 
 def _kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-horizon hop distance from every KG resource to its
     nearest entity node (see plans/bfs.py); shares the session-cached
     integer graph with kg_components."""
-    ids, iund = _kg_instance_graph(spark, sf_dir)
-    return bfs_ids(ids, iund)
+    ids, iund, iund_sl = _kg_instance_graph(spark, sf_dir)
+    return bfs_ids(ids, iund, iund_sl=iund_sl)
 
 
 def _kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,9 +36,25 @@ HORIZON = 8
 SEED_PREFIX = "_:entity_"
 
 
-def bfs_ids(ids: DataFrame, iund: DataFrame, horizon: int = HORIZON) -> DataFrame:
+def bfs_ids(
+    ids: DataFrame,
+    iund: DataFrame,
+    horizon: int = HORIZON,
+    iund_sl: DataFrame | None = None,
+    n_nodes: int | None = None,
+) -> DataFrame:
     """(node, dist) in the string id space; NULL dist = not reached
-    within ``horizon`` hops of any seed."""
+    within ``horizon`` hops of any seed.
+
+    Round shape mirrors cc_iterate_ids: when the node frame fits the
+    session's broadcast threshold each round is ONE shuffle-free stage
+    over the ``idst``-partitioned self-loop edge frame — the w=0
+    self-loop row carries d(v) itself, so ``min(d(u) + w)`` grouped by
+    ``idst`` IS ``min(d(v), 1 + min over neighbors)`` with no left-join
+    back; at cluster scale the co-partitioned shuffle formulation is
+    kept unchanged."""
+    from .components import fits_broadcast, selfloop_edges
+
     dist = ids.select(
         F.col("nid").alias("node"),
         F.when(F.col("node").startswith(SEED_PREFIX), F.lit(0))
@@ -46,25 +62,43 @@ def bfs_ids(ids: DataFrame, iund: DataFrame, horizon: int = HORIZON) -> DataFram
         .cast("long")
         .alias("dist"),
     ).localCheckpoint()
+    if iund_sl is None:
+        iund_sl = selfloop_edges(ids, iund).localCheckpoint()
+    if n_nodes is None:
+        n_nodes = ids.count()
+    fast = fits_broadcast(ids.sparkSession, n_nodes)
     prev_mass = None
     for _ in range(horizon):
-        mn = (
-            iund.join(dist, iund["isrc"] == dist["node"])
-            .groupBy(F.col("idst").alias("node"))
-            .agg(F.min("dist").alias("mn"))
-        )
-        # lineage truncated every round — the frame is referenced on
-        # two sides per round, same 4^k recompute hazard as components
-        dist = (
-            dist.join(mn, "node", "left")
-            .select(
-                "node",
-                F.least("dist", F.coalesce(F.col("mn") + 1, F.lit(INF))).alias(
-                    "dist"
-                ),
+        if fast:
+            b = F.broadcast(
+                dist.select(F.col("node").alias("n1"), F.col("dist").alias("d1"))
             )
-            .localCheckpoint()
-        )
+            # min(d(v)+0, 1+min_N d(u)); the result never exceeds INF
+            # because the self-loop contribution is the previous d(v)
+            dist = (
+                iund_sl.join(b, iund_sl["isrc"] == F.col("n1"))
+                .groupBy(F.col("idst").alias("node"))
+                .agg(F.min(F.col("d1") + F.col("w")).alias("dist"))
+            ).localCheckpoint(eager=False)
+        else:
+            mn = (
+                iund.join(dist, iund["isrc"] == dist["node"])
+                .groupBy(F.col("idst").alias("node"))
+                .agg(F.min("dist").alias("mn"))
+            )
+            # lineage truncated every round — the frame is referenced
+            # on two sides per round, same 4^k recompute hazard as
+            # components
+            dist = (
+                dist.join(mn, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "dist", F.coalesce(F.col("mn") + 1, F.lit(INF))
+                    ).alias("dist"),
+                )
+                .localCheckpoint()
+            )
         mass = dist.agg(F.sum("dist")).collect()[0][0]
         if mass == prev_mass:
             break  # exact: distances only decrease, equal sums = no-op

@@ -119,11 +119,59 @@ def _neighbor_min(iund: DataFrame, lab: DataFrame) -> DataFrame:
     )
 
 
+#: estimated bytes per (long, long) row in a broadcast hash relation
+#: (16 B payload + hashed-relation overhead); used by the fast-path guard
+_BCAST_ROW_BYTES = 48
+
+
+def fits_broadcast(spark, n_rows: int) -> bool:
+    """True when an ``n_rows`` node-sized (long, long) frame fits the
+    session's own broadcast threshold — the same size rule Spark's
+    planner applies, re-stated here because checkpointed frames carry
+    no statistics for the planner to judge.  At cluster scale (10^9
+    nodes) this is False and the iterate loops keep their co-partitioned
+    shuffle formulation; locally it enables shuffle-free rounds."""
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        thresh = int(raw)
+    except Exception:
+        return False
+    return 0 < n_rows * _BCAST_ROW_BYTES <= thresh
+
+
+def selfloop_edges(ids: DataFrame, iund: DataFrame) -> DataFrame:
+    """(isrc, idst, w): the integer edge list plus a zero-weight
+    self-loop per node, hash-partitioned by ``idst``.
+
+    This single shared frame makes every propagation round of
+    components AND BFS one shuffle-free stage when the node frame
+    broadcasts: the self-loop row carries each node's own label/distance
+    into the same ``groupBy(idst)`` aggregation (no left-join back, no
+    union), and because the frame is partitioned by ``idst`` the
+    aggregation after a broadcast join needs no exchange at all.
+    Callers should cache or checkpoint it — it is read every round."""
+    spark = iund.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        iund.select("isrc", "idst", F.lit(1).cast("long").alias("w"))
+        .unionAll(
+            ids.select(
+                F.col("nid").alias("isrc"),
+                F.col("nid").alias("idst"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        .repartition(parts, "idst")
+    )
+
+
 def cc_iterate_ids(
     ids: DataFrame,
     iund: DataFrame,
     rounds: int = ROUNDS,
     check_convergence: bool = True,
+    iund_sl: DataFrame | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Neighbor-min + pointer-jump rounds over the integer-encoded
     graph; returns (node, comp) in the original string id space.
@@ -137,26 +185,71 @@ def cc_iterate_ids(
     so the total label sum is strictly monotone — equal sums between
     rounds is an EXACT no-change test, the integer-fixed-point trick
     that also makes the result hashable cross-engine.  (At >10^9 nodes
-    switch the sum to DECIMAL to keep it overflow-free.)"""
+    switch the sum to DECIMAL to keep it overflow-free.)
+
+    Two physically different but value-identical round shapes:
+
+    * **broadcast fast path** (node frame fits the session's broadcast
+      threshold — the guard is Spark's own size rule): each round is
+      ONE shuffle-free stage over the ``idst``-partitioned self-loop
+      edge frame.  The neighbor-min and the pointer jump fuse into a
+      chained double broadcast lookup,
+
+          m_{k+1}(v) = min over u in {v} ∪ N(v) of m_k(m_k(u)),
+
+      which by induction equals the neighbor-min frame nm_k of the
+      classic formulation (proof: m_0 = identity and the recurrence is
+      exactly nm's); the final labels are m_R(m_R(v)), applied once
+      after the loop.  The self-loop row carries v's own label, so no
+      left-join back and no union — and because the edge frame is
+      partitioned by ``idst``, the groupBy needs no exchange.
+    * **co-partitioned fallback** (huge graphs): the original
+      join + left-join + jump-join rounds, which shuffle node-sized
+      frames and never require any side to fit in memory.
+    """
     lab = ids.select(F.col("nid").alias("node"), F.col("nid").alias("lab"))
+    if iund_sl is None:
+        iund_sl = selfloop_edges(ids, iund).localCheckpoint()
+    if n_nodes is None:
+        n_nodes = ids.count()
+    spark = ids.sparkSession
+    fast = fits_broadcast(spark, n_nodes)
     prev_mass = None if check_convergence else 0
     converged = not check_convergence
     for _ in range(rounds):
-        nm = _neighbor_min(iund, lab)
-        # pointer jump: follow the label to ITS label.  Every label is
-        # a node id (mins over node-id sets), so the self-join is total.
-        jump = nm.select(F.col("node").alias("jnode"), F.col("lab").alias("jlab"))
-        lab = (
-            nm.join(jump, nm["lab"] == jump["jnode"])
-            .select("node", F.col("jlab").alias("lab"))
-        )
-        # truncate lineage EVERY round: each round references the
-        # previous labels twice (neighbor-min + jump sides), so an
+        if fast:
+            b1 = F.broadcast(
+                lab.select(F.col("node").alias("n1"), F.col("lab").alias("l1"))
+            )
+            b2 = F.broadcast(
+                lab.select(F.col("node").alias("n2"), F.col("lab").alias("l2"))
+            )
+            lab = (
+                iund_sl.join(b1, iund_sl["isrc"] == F.col("n1"))
+                .join(b2, F.col("l1") == F.col("n2"))
+                .groupBy(F.col("idst").alias("node"))
+                .agg(F.min("l2").alias("lab"))
+            ).localCheckpoint(eager=not check_convergence)
+        else:
+            nm = _neighbor_min(iund, lab)
+            # pointer jump: follow the label to ITS label.  Every label
+            # is a node id (mins over node-id sets), so the self-join
+            # is total.
+            jump = nm.select(
+                F.col("node").alias("jnode"), F.col("lab").alias("jlab")
+            )
+            lab = (
+                nm.join(jump, nm["lab"] == jump["jnode"])
+                .select("node", F.col("jlab").alias("lab"))
+            ).localCheckpoint()
+        # truncate lineage EVERY round (localCheckpoint above): each
+        # round references the previous labels twice, so an
         # un-checkpointed chain recomputes 4^k times and its physical
         # plan grows just as fast — the labels frame is node-sized, so
         # the checkpoint is cheap at any scale (use checkpoint() on a
-        # cluster-visible dir for executor-loss resilience)
-        lab = lab.localCheckpoint()
+        # cluster-visible dir for executor-loss resilience).  On the
+        # fast path the checkpoint is lazy: the mass probe below
+        # materializes it in the same job.
         if check_convergence:
             mass = lab.agg(F.sum("lab")).collect()[0][0]
             if mass == prev_mass:
@@ -168,6 +261,15 @@ def cc_iterate_ids(
             f"cc_iterate: labels still changing after {rounds} rounds — "
             "raise `rounds` (graph diameter too large for the configured "
             "round count)"
+        )
+    if fast:
+        # the loop carried the pre-jump frame m_k; the classic loop's
+        # output is m_R(m_R(v)) — apply the second lookup once
+        b1 = F.broadcast(
+            lab.select(F.col("node").alias("n1"), F.col("lab").alias("l1"))
+        )
+        lab = lab.join(b1, lab["lab"] == F.col("n1")).select(
+            "node", F.col("l1").alias("lab")
         )
     return (
         lab.join(ids.select(F.col("nid").alias("node"), F.col("node").alias("node_s")), "node")

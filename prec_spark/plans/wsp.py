@@ -68,18 +68,54 @@ def wsp(und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
     return wsp_ids(ids, und, rounds=rounds)
 
 
-def wsp_ids(ids: DataFrame, und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
-    """Integer-space relaxation: ``ids`` is the (node, nid) mapping,
-    ``und`` the symmetric STRING edge list (weights hash from it)."""
+def wsp_weighted_edges(ids: DataFrame, und: DataFrame) -> DataFrame:
+    """(isrc, idst, w): the integer edge list with hash weights from
+    the STRING endpoints, plus a zero-weight self-loop per node,
+    hash-partitioned by ``idst`` (the components/BFS self-loop frame
+    shape — callers should cache it, every round re-reads it)."""
+    spark = und.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     s_ids = ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc"))
     d_ids = ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst"))
-    wund = (
+    return (
         und.select("src", "dst", edge_weight_col().alias("w"))
         .join(s_ids, "src")
         .join(d_ids, "dst")
         .select("isrc", "idst", "w")
-        .localCheckpoint()  # re-read every round
+        .unionAll(
+            ids.select(
+                F.col("nid").alias("isrc"),
+                F.col("nid").alias("idst"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+        .repartition(parts, "idst")
     )
+
+
+def wsp_ids(
+    ids: DataFrame,
+    und: DataFrame,
+    rounds: int = ROUNDS,
+    wund_sl: DataFrame | None = None,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Integer-space relaxation: ``ids`` is the (node, nid) mapping,
+    ``und`` the symmetric STRING edge list (weights hash from it).
+
+    Round shape mirrors cc_iterate_ids/bfs_ids: when the distance
+    frame fits the session's broadcast threshold each relaxation is ONE
+    shuffle-free stage over the ``idst``-partitioned weighted self-loop
+    frame (the w=0 self-loop carries d(v), so the grouped min IS the
+    full relaxation); at cluster scale the co-partitioned shuffle
+    formulation is kept."""
+    from .components import fits_broadcast
+
+    if wund_sl is None:
+        wund_sl = wsp_weighted_edges(ids, und).localCheckpoint()
+    if n_nodes is None:
+        n_nodes = ids.count()
+    fast = fits_broadcast(ids.sparkSession, n_nodes)
     dist = ids.select(
         F.col("nid").alias("node"),
         F.when(F.col("node").startswith(SEED_PREFIX), F.lit(0))
@@ -87,21 +123,39 @@ def wsp_ids(ids: DataFrame, und: DataFrame, rounds: int = ROUNDS) -> DataFrame:
         .cast("long")
         .alias("dist"),
     ).localCheckpoint()
+    prev_mass = None
     for _ in range(rounds):
-        mn = (
-            wund.join(dist, wund["isrc"] == dist["node"])
-            .groupBy(F.col("idst").alias("node"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("mn"))
-        )
-        dist = (
-            dist.join(mn, "node", "left")
-            .select(
-                "node",
-                F.least("dist", F.coalesce(F.col("mn"), F.lit(INF)))
-                .alias("dist"),
+        if fast:
+            b = F.broadcast(
+                dist.select(F.col("node").alias("n1"), F.col("dist").alias("d1"))
             )
-            .localCheckpoint()  # truncate lineage every round
-        )
+            dist = (
+                wund_sl.join(b, wund_sl["isrc"] == F.col("n1"))
+                .groupBy(F.col("idst").alias("node"))
+                .agg(F.min(F.col("d1") + F.col("w")).alias("dist"))
+            ).localCheckpoint(eager=False)
+        else:
+            mn = (
+                wund_sl.join(dist, wund_sl["isrc"] == dist["node"])
+                .groupBy(F.col("idst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("mn"))
+            )
+            dist = (
+                dist.join(mn, "node", "left")
+                .select(
+                    "node",
+                    F.least("dist", F.coalesce(F.col("mn"), F.lit(INF)))
+                    .alias("dist"),
+                )
+                .localCheckpoint()  # truncate lineage every round
+            )
+        # exact early exit (distances only decrease; equal sums = no-op
+        # round) — skips the no-op tail without changing any value,
+        # same probe as bfs_ids
+        mass = dist.agg(F.sum("dist")).collect()[0][0]
+        if mass == prev_mass:
+            break
+        prev_mass = mass
     return dist.join(ids, dist["node"] == ids["nid"]).select(
         ids["node"].alias("node"),
         F.when(F.col("dist") >= INF, F.lit(None).cast("long"))
