@@ -182,7 +182,7 @@ from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
 from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
 from .plans.degree import degree_histogram, degree_oracle_sql
-from .plans.ppr import ppr_iterate, ppr_oracle_sql
+from .plans.ppr import ppr_iterate, ppr_iterate_ids, ppr_oracle_sql
 from .plans.shapes import shape_profile, shapes_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
 from .plans.wsp import wsp_ids, wsp_oracle_sql, wsp_weighted_edges
@@ -192,12 +192,16 @@ from .plans.components import (
     cc_graph,
     cc_iterate_ids,
     components_oracle_sql,
+    fits_broadcast,
     instance_edges,
     selfloop_edges,
 )
 from .plans.pagerank import (
+    pagerank_edges_sl,
     pagerank_graph,
+    pagerank_ids,
     pagerank_iterate,
+    pagerank_iterate_ids,
     pagerank_oracle_sql,
     resource_edges,
 )
@@ -830,6 +834,25 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pr_graph(spark: SparkSession, sf_dir: str):
+    """Session-cached integer-encoded pagerank/ppr graph (ids, edsl,
+    n_nodes) — the dense id mapping with PPR's seed flag and the
+    self-row-augmented idst-partitioned in-edge frame every iteration
+    re-reads (plans/pagerank.py pagerank_edges_sl)."""
+    edges = shared_cached_df(
+        spark,
+        f"kg_pr_edges:{sf_dir}",
+        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+    )
+    ids = shared_cached_df(
+        spark, f"kg_pr_ids:{sf_dir}", lambda: pagerank_ids(edges)
+    )
+    edsl = shared_cached_df(
+        spark, f"kg_pr_edsl:{sf_dir}", lambda: pagerank_edges_sl(ids, edges)
+    )
+    return ids, edsl, ids.count()
+
+
 def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over the full KG resource graph (see
     plans/pagerank.py): ranks every IRI/bnode by the 3-iteration
@@ -837,6 +860,9 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and order-free. The resource-edge list (the frame all three
     iterations re-read) is session-cached alongside the other shared
     inputs, so only the first call pays the KG materialization."""
+    ids, edsl, n = _kg_pr_graph(spark, sf_dir)
+    if fits_broadcast(spark, n):
+        return pagerank_iterate_ids(ids, edsl)
     edges = shared_cached_df(
         spark,
         f"kg_pr_edges:{sf_dir}",
@@ -850,6 +876,9 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded on the canonical entity nodes
     (see plans/ppr.py); shares the session-cached resource-edge list
     with kg_pagerank, so the iterations are the only per-call work."""
+    ids, edsl, n = _kg_pr_graph(spark, sf_dir)
+    if fits_broadcast(spark, n):
+        return ppr_iterate_ids(ids, edsl)
     edges = shared_cached_df(
         spark,
         f"kg_pr_edges:{sf_dir}",

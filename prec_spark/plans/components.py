@@ -86,6 +86,19 @@ def cc_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return und, nodes
 
 
+def encode_nodes(nodes: DataFrame) -> DataFrame:
+    """(node, nid): an ORDER-PRESERVING dense integer id per node —
+    the cc_encode id assignment factored out for graphs that need only
+    the id mapping (pagerank/ppr).  Distributed and deterministic: the
+    sort order is total and zipWithIndex numbers rows in partition
+    order."""
+    spark = nodes.sparkSession
+    return spark.createDataFrame(
+        nodes.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex(),
+        "node string, nid long",
+    )
+
+
 def cc_encode(und: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(ids, iund): an ORDER-PRESERVING dense integer id per node
     (sorted position, so min-by-int-id == min-by-string-id) and the
@@ -97,11 +110,7 @@ def cc_encode(und: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``zipWithIndex`` over the globally sorted node set — distributed
     (no single-partition Window) and deterministic, because the sort
     order is total and zipWithIndex numbers rows in partition order."""
-    spark = und.sparkSession
-    ids = spark.createDataFrame(
-        nodes.orderBy("node").rdd.map(lambda r: r[0]).zipWithIndex(),
-        "node string, nid long",
-    )
+    ids = encode_nodes(nodes)
     s_ids = ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc"))
     d_ids = ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst"))
     iund = und.join(s_ids, "src").join(d_ids, "dst").select("isrc", "idst")

@@ -90,6 +90,97 @@ def pagerank_iterate(
     return pr
 
 
+def pagerank_ids(
+    edges: DataFrame, seed_prefix: str = "_:entity_"
+) -> DataFrame:
+    """(node, nid, is_seed): dense integer ids for the pagerank/ppr
+    graph's nodes, with PPR's restart-set flag."""
+    from .components import encode_nodes
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return encode_nodes(nodes).withColumn(
+        "is_seed", F.col("node").startswith(seed_prefix)
+    )
+
+
+def pagerank_edges_sl(ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """(isrc, idst, deg, sseed): the integer in-edge frame with
+    out-degrees attached, augmented with one deg-NULL self row per
+    node and hash-partitioned by ``idst``.
+
+    The self row is what lets one ``groupBy(idst)`` sum produce the
+    full next mass vector with no left-join back to the node set:
+    its contribution is the per-node restart term (BASE for pagerank,
+    seed-gated BASE for ppr via ``sseed``), while edge rows contribute
+    ``(mass * 85) div (100 * deg)``.  Callers should cache it — every
+    iteration re-reads it."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s_ids = ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc"))
+    d_ids = ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst"))
+    ie = edges.join(s_ids, "src").join(d_ids, "dst").select("isrc", "idst")
+    deg = ie.groupBy("isrc").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        ie.join(deg, "isrc")
+        .select("isrc", "idst", "deg", F.lit(None).cast("boolean").alias("sseed"))
+        .unionAll(
+            ids.select(
+                F.col("nid").alias("isrc"),
+                F.col("nid").alias("idst"),
+                F.lit(None).cast("long").alias("deg"),
+                F.col("is_seed").alias("sseed"),
+            )
+        )
+        .repartition(parts, "idst")
+    )
+
+
+def _rank_iterate_ids(
+    ids: DataFrame, edsl: DataFrame, iters: int, personalized: bool
+) -> DataFrame:
+    """Shared broadcast-iteration core for pagerank/ppr over the
+    encoded graph: per iteration ONE shuffle-free stage (broadcast the
+    node-sized mass vector, map over the idst-partitioned edge frame,
+    locally aggregate).  3 chained iterations run as a single action —
+    the mass frame is referenced once per iteration, so lineage stays
+    linear and needs no checkpoint."""
+    if personalized:
+        init = F.when(F.col("is_seed"), F.lit(SCALE)).otherwise(F.lit(0))
+        base = F.when(F.col("sseed"), F.lit(BASE)).otherwise(F.lit(0))
+    else:
+        init = F.lit(SCALE)
+        base = F.lit(BASE)
+    pr = ids.select(F.col("nid").alias("n"), init.cast("long").alias("mass"))
+    for _ in range(iters):
+        b = F.broadcast(pr)
+        pr = (
+            edsl.join(b, edsl["isrc"] == F.col("n"))
+            .select(
+                "idst",
+                F.when(F.col("deg").isNull(), base)
+                .otherwise(F.expr(f"(mass * {DAMP_NUM}) div ({DAMP_DEN} * deg)"))
+                .alias("c"),
+            )
+            .groupBy(F.col("idst").alias("n"))
+            .agg(F.sum("c").cast("long").alias("mass"))
+        )
+    return ids.join(F.broadcast(pr), ids["nid"] == F.col("n")).select(
+        "node", "mass"
+    )
+
+
+def pagerank_iterate_ids(
+    ids: DataFrame, edsl: DataFrame, iters: int = ITERS
+) -> DataFrame:
+    """(node, mass) — the identical recurrence as pagerank_iterate,
+    over the encoded graph (see pagerank_encode)."""
+    return _rank_iterate_ids(ids, edsl, iters, personalized=False)
+
+
 def pagerank(triples: DataFrame, iters: int = ITERS) -> DataFrame:
     """(node, mass) for every resource in the triple graph."""
     # lineage barrier: every derived frame (deg, ed, nodes) and every

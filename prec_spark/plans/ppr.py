@@ -72,6 +72,17 @@ def ppr_iterate(
     return pr
 
 
+def ppr_iterate_ids(
+    ids: DataFrame, edsl: DataFrame, iters: int = ITERS
+) -> DataFrame:
+    """(node, mass) — the identical seed-restarted recurrence as
+    ppr_iterate, over the encoded graph (pagerank_encode output, whose
+    ``is_seed``/``sseed`` flags mark the '_:entity_' restart set)."""
+    from .pagerank import _rank_iterate_ids
+
+    return _rank_iterate_ids(ids, edsl, iters, personalized=True)
+
+
 def ppr_oracle_sql(triples_sql: str, iters: int = ITERS) -> str:
     """The identical seed-restarted recurrence as unrolled CTEs."""
     seed = f"substr(n.node, 1, {len(SEED_PREFIX)}) = '{SEED_PREFIX}'"
