@@ -177,8 +177,8 @@ from .plans.bgp import (
     slice_bind,
     union_bind,
 )
-from .plans.kcore import kcore, kcore_oracle_sql
-from .plans.linkpred import linkpred_oracle_sql, linkpred_scores
+from .plans.kcore import kcore_ids, kcore_oracle_sql
+from .plans.linkpred import linkpred_oracle_sql, linkpred_scores_ids
 from .plans.node2vec import node2vec_oracle_sql, node2vec_walks
 from .plans.paths import next_path_edges, path_closure, path_star_oracle_sql
 from .plans.degree import degree_histogram, degree_oracle_sql
@@ -186,7 +186,7 @@ from .plans.ppr import ppr_iterate, ppr_iterate_ids, ppr_oracle_sql
 from .plans.shapes import shape_profile, shapes_oracle_sql
 from .plans.walks import capped_adjacency, random_walks, walks_oracle_sql
 from .plans.wsp import wsp_ids, wsp_oracle_sql, wsp_weighted_edges
-from .plans.triangles import triangle_counts_from_und, triangles_oracle_sql
+from .plans.triangles import triangle_counts_ids, triangles_oracle_sql
 from .plans.components import (
     cc_encode,
     cc_graph,
@@ -1154,12 +1154,8 @@ def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling over the KG instance graph (see
     plans/kcore.py); shares the session-cached symmetric edge list."""
-    und = shared_cached_df(
-        spark,
-        f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
-    )
-    return kcore(und)
+    ids, iund, _iund_sl = _kg_instance_graph(spark, sf_dir)
+    return kcore_ids(ids, iund)
 
 
 def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,12 +1163,8 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans/triangles.py: degree-oriented wedge join, hub-safe by
     construction); shares the session-cached symmetric edge list with
     kg_components/kg_bfs."""
-    und = shared_cached_df(
-        spark,
-        f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
-    )
-    return triangle_counts_from_und(und)
+    ids, iund, _iund_sl = _kg_instance_graph(spark, sf_dir)
+    return triangle_counts_ids(ids, iund)
 
 
 def _kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,12 +1233,8 @@ def _kg_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded common-neighbor link-prediction features (CN / Jaccard
     / resource-allocation, integer fixed-point — see plans/linkpred.py)
     over the session-cached KG instance graph."""
-    und = shared_cached_df(
-        spark,
-        f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
-    )
-    return linkpred_scores(und)
+    ids, iund, _iund_sl = _kg_instance_graph(spark, sf_dir)
+    return linkpred_scores_ids(ids, iund)
 
 
 def _kg_triples_oracle() -> str:

@@ -50,6 +50,46 @@ def kcore(und: DataFrame, k: int = K, peels: int = PEELS) -> DataFrame:
     )
 
 
+def kcore_ids(
+    ids: DataFrame, iund: DataFrame, k: int = K, peels: int = PEELS
+) -> DataFrame:
+    """(node, deg) k-core peeling over the integer-encoded edge list:
+    rounds shuffle 16-byte pairs instead of IRI/bnode strings, and the
+    shrinking survivor set broadcasts into the two semi-joins when it
+    fits the session's threshold, making each peel one map-only pass
+    over the current edge list (guide §2.3/§3.1)."""
+    from .components import fits_broadcast
+
+    spark = ids.sparkSession
+    bcast = (
+        F.broadcast
+        if fits_broadcast(spark, ids.count())
+        else (lambda df: df)
+    )
+    g = iund.select(
+        F.col("isrc").alias("src"), F.col("idst").alias("dst")
+    ).localCheckpoint(eager=False)
+    prev_nodes = None
+    for _ in range(peels):
+        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
+        n = keep.count()
+        if prev_nodes is not None and n == prev_nodes:
+            break  # removal-free peel: every further round is a no-op
+        prev_nodes = n
+        k1 = keep.select(F.col("src").alias("n1"))
+        k2 = keep.select(F.col("src").alias("n2"))
+        g = (
+            g.join(bcast(k1), g["src"] == k1["n1"], "leftsemi")
+            .join(bcast(k2), g["dst"] == k2["n2"], "leftsemi")
+            .localCheckpoint()  # truncate lineage every round
+        )
+    surv = g.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return ids.join(bcast(surv), ids["nid"] == surv["n"]).select("node", "deg")
+
+
 def kcore_oracle_sql(triples_sql: str, k: int = K, peels: int = PEELS) -> str:
     """The identical peel rounds unrolled as MATERIALIZED CTEs."""
     ctes = ["g0 AS MATERIALIZED (SELECT src, dst FROM und)"]

@@ -100,6 +100,77 @@ def linkpred_scores(
     )
 
 
+def linkpred_scores_ids(
+    ids: DataFrame, iund: DataFrame, dmax: int = DMAX, min_cn: int = MIN_CN
+) -> DataFrame:
+    """linkpred_scores over the integer-encoded edge list: the wedge
+    join and its (a, b) aggregation shuffle 8-byte ids instead of
+    IRI/bnode strings (the id assignment is order-preserving, so the
+    a < b orientation is bit-identical), node-sized sides broadcast
+    when they fit, and only the final (small) score table maps back to
+    strings."""
+    from .components import fits_broadcast
+
+    spark = ids.sparkSession
+    bcast = (
+        F.broadcast
+        if fits_broadcast(spark, ids.count())
+        else (lambda df: df)
+    )
+    deg = iund.groupBy(F.col("isrc").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    centers = deg.filter(F.col("deg") <= dmax).select(
+        F.col("n").alias("isrc"), "deg"
+    )
+    nbrs = iund.join(bcast(centers), "isrc")
+    n1 = nbrs.select(
+        F.col("isrc").alias("z"), F.col("idst").alias("a"),
+        F.col("deg").alias("dz"),
+    )
+    n2 = nbrs.select(F.col("isrc").alias("z"), F.col("idst").alias("b"))
+    scores = (
+        n1.join(n2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.expr("1000000000 div dz")).cast("long").alias("ra_nano"),
+        )
+        .filter(F.col("cn") >= min_cn)
+    )
+    scores = scores.join(
+        iund,
+        (scores["a"] == iund["isrc"]) & (scores["b"] == iund["idst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        scores.join(bcast(da), "a")
+        .join(bcast(db), "b")
+        .select(
+            "a", "b", "cn",
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr("(1000000 * cn) div (deg_a + deg_b - cn)")
+            .cast("long")
+            .alias("jaccard_micro"),
+            "ra_nano",
+        )
+    )
+    ia = ids.select(F.col("nid").alias("a"), F.col("node").alias("a_s"))
+    ib = ids.select(F.col("nid").alias("b"), F.col("node").alias("b_s"))
+    return (
+        scored.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            F.col("a_s").alias("a"), F.col("b_s").alias("b"), "cn",
+            "deg_a", "deg_b", "jaccard_micro", "ra_nano",
+        )
+    )
+
+
 def linkpred_oracle_sql(
     triples_sql: str, dmax: int = DMAX, min_cn: int = MIN_CN
 ) -> str:

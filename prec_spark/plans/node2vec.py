@@ -65,11 +65,13 @@ def node2vec_walks(
             _md5_int(F.concat(F.lit("n2v#"), F.col("node"))) % sample_mod == 0
         )
     )
+    # lazy checkpoints: lineage still truncated per step, but all steps
+    # fuse into one job (see plans/walks.py)
     frontier = starts.select(
         F.col("node").alias("walk"),
         F.col("node").alias("prev"),
         F.col("node").alias("cur"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = frontier.select(
         "walk", F.lit(0).cast("long").alias("step"), F.col("cur").alias("node")
     )
@@ -109,7 +111,7 @@ def node2vec_walks(
             .select(
                 "walk", "prev", F.expr("substring(picked, 11)").alias("cur")
             )
-            .localCheckpoint()  # truncate lineage every step
+            .localCheckpoint(eager=False)  # truncate lineage every step
         )
         out = out.unionAll(
             frontier.select(

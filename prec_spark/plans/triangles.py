@@ -93,6 +93,60 @@ def triangle_counts_from_und(und: DataFrame) -> DataFrame:
     )
 
 
+def triangle_counts_ids(ids: DataFrame, iund: DataFrame) -> DataFrame:
+    """(node, n_tri) over the integer-encoded symmetric edge list —
+    the same degree-oriented plan as triangle_counts_from_und, but the
+    wedge/close joins shuffle 8-byte ids instead of IRI/bnode strings
+    (guide-§2.3 narrower types; the id assignment is order-preserving,
+    so the (degree, node) orientation order is bit-identical), and the
+    node-sized degree/back-map sides broadcast when they fit the
+    session's threshold."""
+    from .components import fits_broadcast
+
+    spark = ids.sparkSession
+    deg = iund.groupBy(F.col("isrc").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    bcast = (
+        F.broadcast
+        if fits_broadcast(spark, ids.count())
+        else (lambda df: df)
+    )
+    ds = deg.select(F.col("n").alias("isrc"), F.col("deg").alias("dsrc"))
+    dd = deg.select(F.col("n").alias("idst"), F.col("deg").alias("ddst"))
+    e = (
+        iund.join(bcast(ds), "isrc")
+        .join(bcast(dd), "idst")
+        .filter(
+            (F.col("dsrc") < F.col("ddst"))
+            | ((F.col("dsrc") == F.col("ddst")) & (F.col("isrc") < F.col("idst")))
+        )
+        .select("isrc", "idst", "ddst")
+        .localCheckpoint()  # read 3x (wedge x2 + close)
+    )
+    e1 = e.select(
+        F.col("isrc").alias("a"), F.col("idst").alias("b"),
+        F.col("ddst").alias("db"),
+    )
+    e2 = e.select(
+        F.col("isrc").alias("a"), F.col("idst").alias("c"),
+        F.col("ddst").alias("dc"),
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("isrc").alias("b"), F.col("idst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    cnt = corners.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    return ids.join(bcast(cnt), ids["nid"] == cnt["n"]).select("node", "n_tri")
+
+
 def triangles_oracle_sql(triples_sql: str) -> str:
     """The identical orientation + wedge-close in DuckDB SQL."""
     return f"""

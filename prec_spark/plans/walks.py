@@ -110,9 +110,13 @@ def random_walks(
     if undc is None:
         undc = capped_adjacency(und, cap).localCheckpoint()  # read 1x/step
     und = undc
+    # lazy checkpoints throughout the loop: lineage is still truncated
+    # at every step (each checkpoint materializes once, on the final
+    # action), but the steps fuse into ONE job instead of paying a
+    # driver round-trip per step
     frontier = starts.select(
         F.col("node").alias("walk"), F.col("node").alias("cur")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = frontier.select("walk", F.lit(0).cast("long").alias("step"),
                           F.col("cur").alias("node"))
     for k in range(1, steps + 1):
@@ -128,7 +132,7 @@ def random_walks(
             .groupBy("walk")
             .agg(F.min(pick).alias("picked"))
             .select("walk", F.expr("substring(picked, 11)").alias("cur"))
-            .localCheckpoint()  # truncate lineage every step
+            .localCheckpoint(eager=False)  # truncate lineage every step
         )
         out = out.unionAll(
             frontier.select(
