@@ -70,7 +70,7 @@ from .cached import cached_transcripts
 from .flagship import EX, _esc, flagship_triples
 from .lakehouse.table import IceLiteTable
 from .pg.projection import _turn_id, sanitize_id_col
-from .text.mentions import entities_df, find_mentions_udf
+from .text.mentions import entities_df, mentions_expr
 from .transcripts import ENTITIES, transcripts_oracle_sql
 
 #: conversations hash into BUCKETS buckets (md5-prefix, the
@@ -144,9 +144,7 @@ def kg_triples_prov(
     ments = t.select(
         "conv_id",
         "turn_idx",
-        F.explode(
-            F.array_distinct(find_mentions_udf()(F.col("text")))
-        ).alias("mention"),
+        F.explode(F.array_distinct(mentions_expr())).alias("mention"),
     )
     e = entities_df(spark)
     links = ments.join(F.broadcast(e), ments["mention"] == e["entity_name"])

@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..flagship import EX
 from ..pg.projection import lit_term_col
-from ..text.mentions import find_mentions_udf
+from ..text.mentions import mentions_expr
 
 TRANSCRIPTS_SCHEMA = (
     "conv_id STRING, turn_idx INT, role STRING, text STRING, "
@@ -105,7 +105,7 @@ def stateless_triples(t: DataFrame) -> DataFrame:
     m = t.select(
         "conv_id",
         "turn_idx",
-        F.explode(F.array_distinct(find_mentions_udf()(F.col("text")))).alias(
+        F.explode(F.array_distinct(mentions_expr())).alias(
             "mention"
         ),
     )

@@ -45,6 +45,10 @@ def find_mentions_udf():
 
     Built lazily — pandas_udf needs an active SparkSession to resolve
     its return type, so decoration can't happen at import time.
+
+    Retained as the Arrow-vectorized reference implementation; the
+    query paths use :func:`mentions_expr` (same matches, pure JVM) —
+    see that docstring for why.
     """
 
     @pandas_udf("array<string>")
@@ -52,6 +56,24 @@ def find_mentions_udf():
         return texts.str.findall(ENTITY_RE)
 
     return _find
+
+
+def mentions_expr(col: str = "text"):
+    """All dictionary-entity occurrences per text, in order — as a pure
+    JVM expression (``regexp_extract_all`` over the same ``\\b``-guarded
+    alternation as ENTITY_RE, which Java and Python regex match
+    identically for ASCII words; equivalence pinned in
+    tests/test_mentions_expr.py).
+
+    This replaces the Arrow pandas-UDF scan on the query paths: the
+    dictionary regex needs no Python library, so the JVM built-in saves
+    the JVM->Arrow->pandas->JVM round-trip of the full text column on
+    every mention pass (guide §4.1 — prefer built-ins when they exist),
+    and plans lose their ArrowEvalPython nodes."""
+    import re as _re
+
+    pat = r"\b(" + "|".join(map(_re.escape, ENTITIES)) + r")\b"
+    return F.expr(f"regexp_extract_all({col}, r'{pat}', 1)")
 
 
 def mentions_df(
@@ -62,7 +84,7 @@ def mentions_df(
     return t.select(
         "conv_id",
         "turn_idx",
-        F.explode(find_mentions_udf()(F.col("text"))).alias("mention"),
+        F.explode(mentions_expr()).alias("mention"),
     )
 
 
@@ -303,9 +325,7 @@ def entity_triples(
     ments = t.select(
         "conv_id",
         "turn_idx",
-        F.explode(
-            F.array_distinct(find_mentions_udf()(F.col("text")))
-        ).alias("mention"),
+        F.explode(F.array_distinct(mentions_expr())).alias("mention"),
     )
     e = entities_df(spark)
     links = ments.join(F.broadcast(e), ments["mention"] == e["entity_name"], "inner")
