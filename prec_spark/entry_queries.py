@@ -1194,7 +1194,34 @@ def _kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = shared_cached_df(
         spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
     )
-    return path_closure(next_path_edges(kg, f"<{EX}next>"))
+    edges = next_path_edges(kg, f"<{EX}next>")
+    # closed-form integer encoding of the turn bnodes
+    # ('_:turn_conv-<K>_<idx>' <-> K * 2^20 + idx; idx is bounded far
+    # below 2^20 by the transcripts construction, and ex:next edges
+    # connect turn bnodes only, by the flagship context definition):
+    # the doubling rounds then self-join 8-byte longs instead of ~22-B
+    # strings, and both encode and decode are pure expressions — no id
+    # dictionary, no back-map join.  The independent closed-form oracle
+    # cross-checks the whole rewrite.
+    shift = 1 << 20
+    turn_re = r"^_:turn_conv-([0-9]+)_([0-9]+)$"
+
+    def enc(c: str) -> F.Column:
+        return (
+            F.regexp_extract(F.col(c), turn_re, 1).cast("long") * shift
+            + F.regexp_extract(F.col(c), turn_re, 2).cast("long")
+        ).alias(c)
+
+    def dec(c: str) -> F.Column:
+        return F.concat(
+            F.lit("_:turn_conv-"),
+            F.expr(f"{c} div {shift}").cast("string"),
+            F.lit("_"),
+            (F.col(c) % shift).cast("string"),
+        ).alias(c)
+
+    r = path_closure(edges.select(enc("src"), enc("dst")))
+    return r.select(dec("src"), dec("dst"), "dist")
 
 
 def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:

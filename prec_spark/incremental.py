@@ -116,30 +116,40 @@ def kg_triples_prov(
     t = transcripts.localCheckpoint()  # read by PG (6 branches) + map + mentions
 
     ft = flagship_triples(spark, sf_dir, transcripts=t)
-    turn_bn = F.concat(
-        F.lit("_:"),
-        sanitize_id_col(_turn_id(F.col("conv_id"), F.col("turn_idx"))),
-    )
-    conv_bn = F.concat(
-        F.lit("_:"),
-        sanitize_id_col(F.concat(F.lit("conv:"), F.col("conv_id"))),
-    )
     tool_bn = F.concat(
         F.lit("_:"),
         sanitize_id_col(F.concat(F.lit("tool:"), F.col("tool"))),
     )
-    smap = (
-        t.select(turn_bn.alias("s"), "conv_id")
-        .unionByName(t.select(conv_bn.alias("s"), "conv_id").distinct())
-        .unionByName(
-            t.filter(F.col("tool").isNotNull())
-            .select(tool_bn.alias("s"), "conv_id")
-            .distinct()
-        )
+    # Attribution WITHOUT an output-sized join: turn/conversation
+    # subject bnodes ENCODE their conv_id ('_:turn_<conv>_<idx>' /
+    # '_:conv_<conv>'; conv ids contain no '_', so the parse is exact),
+    # so those triples — all but a handful — get conv_id from a pure
+    # expression instead of shuffling the materialized triple strings
+    # against a node->conv map.  Only tool-subject triples (one node
+    # per distinct tool) genuinely fan out to every conversation that
+    # used the tool; they keep the (tiny) distinct (tool_bn, conv_id)
+    # join, which the planner broadcasts.  Same rows as the old full
+    # smap join: every flagship subject is a node bnode by catalog
+    # construction (pinned by test_prov_covers_all_subjects).
+    is_turn = F.col("s").startswith("_:turn_")
+    is_conv = F.col("s").startswith("_:conv_")
+    parsed_conv = F.when(
+        is_turn, F.regexp_extract(F.col("s"), r"^_:turn_(.*)_[0-9]+$", 1)
+    ).otherwise(F.expr("substring(s, 8)"))  # 1-based, after '_:conv_'
+    prov_parsed = ft.filter(is_turn | is_conv).select(
+        parsed_conv.alias("conv_id"), "s", "p", "o"
     )
-    # inner join: every flagship subject is a node bnode by catalog
-    # construction (pinned by test_prov_covers_all_subjects)
-    prov_f = ft.join(smap, "s").select("conv_id", "s", "p", "o")
+    tool_map = (
+        t.filter(F.col("tool").isNotNull())
+        .select(tool_bn.alias("s"), "conv_id")
+        .distinct()
+    )
+    prov_tool = (
+        ft.filter(F.col("s").startswith("_:tool_"))
+        .join(tool_map, "s")
+        .select("conv_id", "s", "p", "o")
+    )
+    prov_f = prov_parsed.unionByName(prov_tool)
 
     ments = t.select(
         "conv_id",

@@ -50,11 +50,15 @@ def path_closure(edges: DataFrame, horizon: int = HORIZON) -> DataFrame:
 
     ``edges`` is any (src, dst) relation (duplicates tolerated)."""
     rounds = max(1, (horizon - 1).bit_length())  # ceil(log2 horizon)
+    # lazy checkpoints: lineage still truncated per round (the frame is
+    # referenced twice per round), but the fixpoint probe's collect
+    # materializes each checkpoint in the same job instead of paying a
+    # separate eager job per round
     r = (
         edges.select("src", "dst", F.lit(1).cast("long").alias("dist"))
         .groupBy("src", "dst")
         .agg(F.min("dist").alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = None
     for _ in range(rounds):
@@ -72,7 +76,7 @@ def path_closure(edges: DataFrame, horizon: int = HORIZON) -> DataFrame:
             r.unionAll(comp)
             .groupBy("src", "dst")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()  # truncate lineage every round
+            .localCheckpoint(eager=False)  # truncate lineage every round
         )
         # exact integer fixpoint: pairs only grow, min-dists only
         # shrink, so (count, sum dist) unchanged <=> the composition
