@@ -131,25 +131,24 @@ def kg_triples_prov(
     # join, which the planner broadcasts.  Same rows as the old full
     # smap join: every flagship subject is a node bnode by catalog
     # construction (pinned by test_prov_covers_all_subjects).
-    is_turn = F.col("s").startswith("_:turn_")
-    is_conv = F.col("s").startswith("_:conv_")
-    parsed_conv = F.when(
-        is_turn, F.regexp_extract(F.col("s"), r"^_:turn_(.*)_[0-9]+$", 1)
-    ).otherwise(F.expr("substring(s, 8)"))  # 1-based, after '_:conv_'
-    prov_parsed = ft.filter(is_turn | is_conv).select(
-        parsed_conv.alias("conv_id"), "s", "p", "o"
-    )
+    # both turn and conv prefixes are 7 chars and conv ids contain no
+    # '_', so ONE expression parses both kinds; tool subjects match the
+    # map and take its conv_id instead (left join duplicates each tool
+    # triple per using conversation — the intended fan-out).  ft is
+    # referenced exactly once, so the materialization runs one pass.
+    parsed_conv = F.expr("substring_index(substring(s, 8), '_', 1)")
     tool_map = (
         t.filter(F.col("tool").isNotNull())
-        .select(tool_bn.alias("s"), "conv_id")
+        .select(tool_bn.alias("s"), F.col("conv_id").alias("tool_conv"))
         .distinct()
     )
-    prov_tool = (
-        ft.filter(F.col("s").startswith("_:tool_"))
-        .join(tool_map, "s")
-        .select("conv_id", "s", "p", "o")
+    prov_f = (
+        ft.join(tool_map, "s", "left")
+        .select(
+            F.coalesce(F.col("tool_conv"), parsed_conv).alias("conv_id"),
+            "s", "p", "o",
+        )
     )
-    prov_f = prov_parsed.unionByName(prov_tool)
 
     ments = t.select(
         "conv_id",
