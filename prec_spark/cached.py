@@ -46,10 +46,30 @@ def shared_cached_df(
     return df
 
 
-def cached_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The transcripts PG input, cached once per session."""
+def cached_transcripts_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts PG input cached once per session, augmented with
+    ``next_idx`` (the NEXT-edge lead) computed once at cache build so
+    the PG edge projection needs no per-call window.
+
+    ONLY valid for the full, unfiltered table: a caller that filters
+    turns (kg_asof) must NOT reuse the precomputed lead — consecutive
+    surviving turns differ — so such callers pass the plain frame and
+    pg_edges falls back to its window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from .transcripts import transcripts_df
 
-    return shared_cached_df(
-        spark, f"transcripts:{sf_dir}", lambda: transcripts_df(spark, sf_dir)
-    )
+    def build() -> DataFrame:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        return transcripts_df(spark, sf_dir).withColumn(
+            "next_idx", F.lead("turn_idx").over(w)
+        )
+
+    return shared_cached_df(spark, f"transcripts:{sf_dir}", build)
+
+
+def cached_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts PG input, cached once per session (driver-gated
+    schema — the next_idx helper column is projected away)."""
+    return cached_transcripts_aug(spark, sf_dir).drop("next_idx")

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cached import cached_transcripts, shared_cached_df
+from .cached import cached_transcripts, cached_transcripts_aug, shared_cached_df
 from .flagship import EX, flagship_oracle_sql, flagship_triples
 from .pg.export import cypher_create_statements, gremlin_insert_statements
 from .pg.graphml import graphml_lines, graphml_oracle_sql
@@ -244,7 +244,7 @@ SELECT DISTINCT 'tool:' || tool, 'Tool', 'name' FROM t WHERE tool IS NOT NULL
 
 
 def _pg_edges_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     return pg_edges(t).select("edge_id", "src_id", "dst_id", "label")
 
 
@@ -271,7 +271,7 @@ FROM tm WHERE tool IS NOT NULL
 
 
 def _cypher_create(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     return cypher_create_statements(pg_nodes(t), pg_edges(t))
 
 
@@ -354,7 +354,7 @@ FROM tm WHERE tool IS NOT NULL
 
 
 def _gremlin_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     return gremlin_insert_statements(pg_nodes(t), pg_edges(t))
 
 
@@ -698,7 +698,7 @@ def _prec0_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = shared_cached_df(
         spark, f"pg_edges:{sf_dir}",
-        lambda: pg_edges(cached_transcripts(spark, sf_dir)),
+        lambda: pg_edges(cached_transcripts_aug(spark, sf_dir)),
     )
     return prec0_quads(nodes, edges)
 
@@ -825,7 +825,7 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full extract -> link -> canonicalize -> materialize output:
     PRSC context triples + mention/entity triples. One cached
     transcripts DF feeds every stage."""
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     # the two branches are each internally deduplicated and are
     # disjoint by predicate namespace — no outer dropDuplicates needed
     # (saves a full-output shuffle)
@@ -1127,7 +1127,7 @@ def _pg_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphML export of the property graph (see pg/graphml.py):
     distributed one-line-per-element document assembly, value-gated
     line set incl. XML escaping and endpoint wiring."""
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     return graphml_lines(spark, pg_nodes(t), pg_edges(t))
 
 

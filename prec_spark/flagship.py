@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .contexts.model import PRSCCatalog
 from .pg.projection import pg_edges, pg_nodes
 from .prsc.apply import apply_prsc
-from .cached import cached_transcripts
+from .cached import cached_transcripts, cached_transcripts_aug
 from .transcripts import transcripts_df
 
 EX = "http://example.org/transcripts/"
@@ -89,7 +89,11 @@ def flagship_triples(
     node/edge kind (6 narrow branches), and recomputing the row_number
     window per branch dominates the plan otherwise (2x wall measured
     at sf0.1)."""
-    t = transcripts if transcripts is not None else cached_transcripts(spark, sf_dir)
+    t = (
+        transcripts
+        if transcripts is not None
+        else cached_transcripts_aug(spark, sf_dir)
+    )
     nodes, edges = pg_nodes(t), pg_edges(t)
     # unique_edge_triples: the projection guarantees no two edges share
     # (src, dst, label) — NEXT/IN/USES are keyed by (conv, turn)

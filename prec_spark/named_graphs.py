@@ -20,7 +20,7 @@ from .contexts.model import PRSCCatalog
 from .flagship import EX, _esc
 from .pg.projection import pg_edges, pg_nodes
 from .prsc.apply import apply_prsc
-from .cached import cached_transcripts
+from .cached import cached_transcripts_aug
 from .transcripts import transcripts_df
 
 G_USER = f"<{EX}graph/user>"
@@ -93,7 +93,7 @@ def named_graph_quads(
     spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
 ) -> DataFrame:
     """transcripts -> PG -> PRSC quads (s, p, o, g)."""
-    t = transcripts if transcripts is not None else cached_transcripts(spark, sf_dir)
+    t = transcripts if transcripts is not None else cached_transcripts_aug(spark, sf_dir)
     quads, _quarantine = apply_prsc(
         spark,
         pg_nodes(t),

@@ -99,9 +99,17 @@ def pg_edges(transcripts: DataFrame) -> DataFrame:
         F.array().cast("array<string>"), F.array().cast("array<array<string>>")
     )
 
+    # reuse a precomputed lead when the caller's frame carries one
+    # (cached_transcripts_aug computes it once at cache build); the
+    # window fallback serves filtered/ad-hoc frames, where a
+    # precomputed lead would be stale
+    base = (
+        t
+        if "next_idx" in t.columns
+        else t.withColumn("next_idx", F.lead("turn_idx").over(w))
+    )
     next_edges = (
-        t.withColumn("next_idx", F.lead("turn_idx").over(w))
-        .filter(F.col("next_idx").isNotNull())
+        base.filter(F.col("next_idx").isNotNull())
         .select(
             F.concat(F.lit("edge:next:"), F.col("conv_id"), F.lit(":"),
                      F.col("turn_idx").cast("string")).alias("edge_id"),

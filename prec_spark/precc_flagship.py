@@ -40,7 +40,7 @@ from .prsc.apply import apply_prsc
 from .prsc.revert import revert_prsc
 from .rdf.terms import PREC_NS, RDF_NS, RDFS_NS
 from .rdf.turtle import parse_turtle
-from .cached import cached_transcripts
+from .cached import cached_transcripts_aug
 from .transcripts import transcripts_df, transcripts_oracle_sql
 
 NODE_PREFIX = f"{EX}node/"
@@ -112,7 +112,7 @@ def precc_transcript_triples(
     spark: SparkSession, sf_dir: str, transcripts: DataFrame | None = None
 ) -> DataFrame:
     """transcripts -> PG -> PREC-0 -> PREC-C triples (s, p, o)."""
-    t = transcripts if transcripts is not None else cached_transcripts(spark, sf_dir)
+    t = transcripts if transcripts is not None else cached_transcripts_aug(spark, sf_dir)
     quads = prec0_quads(pg_nodes(t), pg_edges(t))
     return apply_precc(spark, quads, precc_context())
 
@@ -308,7 +308,7 @@ def prsc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts in SQL), so the gate certifies apply∘revert = identity
     up to the reverted id conventions.
     """
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     catalog = PRSCCatalog.from_turtle(REVERTIBLE_TRANSCRIPT_CONTEXT)
     triples, _quarantine = apply_prsc(
         spark, pg_nodes(t), pg_edges(t), catalog, unique_edge_triples=True
@@ -359,7 +359,7 @@ SELECT kind, elem_id, src_id, dst_id, label_key, props_kv FROM (
 
 def prec0_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREC-0 quads -> prec0_revert (totality-checked) -> flat PG rows."""
-    t = cached_transcripts(spark, sf_dir)
+    t = cached_transcripts_aug(spark, sf_dir)
     quads = prec0_quads(pg_nodes(t), pg_edges(t))
     # same stage-boundary shape as apply_precc: collapse the union's
     # inherited branch-partitions before the plan barrier
