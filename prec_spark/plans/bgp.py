@@ -118,10 +118,14 @@ def aggregate_bind(
     the algebra's Group/Aggregation operators.  ``aggs`` maps output
     variable name -> aggregate Column (COUNT/SUM/MIN/MAX/...); the
     result binds ``group_vars`` plus one column per aggregate.
-    ``having`` filters the aggregated frame (SPARQL HAVING).  This is
-    a single hash aggregate: Catalyst plans a map-side partial
-    aggregate per partition, so only the (group, partial) pairs
-    shuffle — the binding frame itself never moves."""
+    ``having`` filters the aggregated frame (SPARQL HAVING).  For
+    non-distinct aggregates this is a single hash aggregate: Catalyst
+    plans a map-side partial aggregate per partition, so only the
+    (group, partial) pairs shuffle — the binding frame itself never
+    moves.  COUNT(DISTINCT x) is the exception: Spark plans a
+    two-phase distinct aggregate that shuffles (group, distinct-value)
+    pairs before the final aggregate, so the data-movement guarantee is
+    per-distinct-value, not per-partial."""
     out = bindings.groupBy(*group_vars).agg(
         *[c.alias(name) for name, c in aggs.items()]
     )

@@ -83,14 +83,6 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # let the planner pick shuffled-hash join when its size
-        # conditions hold (guide-recommended baseline): most of the
-        # engine's medium joins are int/bnode equi-joins where skipping
-        # both sort passes is a measured ~20% win on the join-heavy
-        # query set; the planner still only builds a hash side it
-        # estimates to fit, and SMJ remains the fallback for large
-        # sides, so the choice stays size-driven at any scale.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     driver_mem = (extra_conf or {}).get(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
@@ -111,6 +103,16 @@ def build_session(
         # storms). 1 MiB pages remove that failure mode; bigger heaps
         # keep Spark's adaptive default (large pages sort faster).
         builder = builder.config("spark.buffer.pageSize", "1m")
+    else:
+        # let the planner pick shuffled-hash join when its size
+        # conditions hold (guide-recommended baseline): most of the
+        # engine's medium joins are int/bnode equi-joins where skipping
+        # both sort passes is a measured ~20% win on the join-heavy
+        # query set.  The exception is a small (<=4 GiB) single-JVM
+        # heap: a hash build side that misestimates cannot spill the
+        # way sort-merge does, and the 100-query gate session OOMed
+        # with SHJ enabled — small heaps keep Spark's SMJ default.
+        builder = builder.config("spark.sql.join.preferSortMergeJoin", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
