@@ -927,6 +927,11 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
         f"kg_cc_ids:{sf_dir}",
         lambda: cc_encode(und, und.select(F.col("src").alias("node")).distinct())[0],
     )
+    # hash-partitioned by isrc: the degree aggregations and adjacency
+    # groupings of kg_kcore / kg_triangles / kg_linkpred all key on
+    # isrc, so caching the frame in that layout removes their
+    # per-query exchange outright (guide §2.4 — operations keyed the
+    # same way share one exchange, paid once at cache build).
     iund = shared_cached_df(
         spark,
         f"kg_cc_iund:{sf_dir}",
@@ -934,7 +939,10 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
             ids.select(F.col("node").alias("src"), F.col("nid").alias("isrc")), "src"
         )
         .join(ids.select(F.col("node").alias("dst"), F.col("nid").alias("idst")), "dst")
-        .select("isrc", "idst"),
+        .select("isrc", "idst")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "isrc"
+        ),
     )
     iund_sl = shared_cached_df(
         spark,

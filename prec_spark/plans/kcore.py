@@ -57,7 +57,21 @@ def kcore_ids(
     rounds shuffle 16-byte pairs instead of IRI/bnode strings, and the
     shrinking survivor set broadcasts into the two semi-joins when it
     fits the session's threshold, making each peel one map-only pass
-    over the current edge list (guide §2.3/§3.1)."""
+    over the cached edge list (guide §2.3/§3.1).
+
+    Survivor sets are NESTED (a node's degree only ever drops while it
+    survives, so keep_r ⊆ keep_{r-1}), which makes the classic
+    "shrink g every round" recurrence collapse to
+
+        g_r = iund ⋉ keep_r ⋉ keep_r
+
+    — each round re-filters the (session-cached) edge list with the
+    CURRENT survivor set instead of checkpointing an edge-sized
+    intermediate per round.  With the broadcast guard met, one peel is
+    a single map-side job (scan cache → 2 broadcast semi-joins →
+    degree aggregation, exchange-free when the cache is
+    isrc-partitioned); only the node-sized survivor frame is ever
+    checkpointed."""
     from .components import fits_broadcast
 
     spark = ids.sparkSession
@@ -66,26 +80,32 @@ def kcore_ids(
         if fits_broadcast(spark, ids.count())
         else (lambda df: df)
     )
-    g = iund.select(
-        F.col("isrc").alias("src"), F.col("idst").alias("dst")
-    ).localCheckpoint(eager=False)
+    g = iund.select(F.col("isrc").alias("src"), F.col("idst").alias("dst"))
+    keep = None
     prev_nodes = None
     for _ in range(peels):
-        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
-        n = keep.count()
+        cur = g
+        if keep is not None:
+            k1 = keep.select(F.col("src").alias("n1"))
+            k2 = keep.select(F.col("src").alias("n2"))
+            cur = (
+                g.join(bcast(k1), g["src"] == k1["n1"], "leftsemi")
+                .join(bcast(k2), g["dst"] == k2["n2"], "leftsemi")
+            )
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        nk = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
+        n = nk.count()
         if prev_nodes is not None and n == prev_nodes:
             break  # removal-free peel: every further round is a no-op
+        keep = nk
         prev_nodes = n
-        k1 = keep.select(F.col("src").alias("n1"))
-        k2 = keep.select(F.col("src").alias("n2"))
-        g = (
-            g.join(bcast(k1), g["src"] == k1["n1"], "leftsemi")
-            .join(bcast(k2), g["dst"] == k2["n2"], "leftsemi")
-            .localCheckpoint()  # truncate lineage every round
-        )
-    surv = g.groupBy(F.col("src").alias("n")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    k1 = keep.select(F.col("src").alias("n1"))
+    k2 = keep.select(F.col("src").alias("n2"))
+    surv = (
+        g.join(bcast(k1), g["src"] == k1["n1"], "leftsemi")
+        .join(bcast(k2), g["dst"] == k2["n2"], "leftsemi")
+        .groupBy(F.col("src").alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     return ids.join(bcast(surv), ids["nid"] == surv["n"]).select("node", "deg")
 

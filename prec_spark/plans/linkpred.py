@@ -124,15 +124,25 @@ def linkpred_scores_ids(
         F.col("n").alias("isrc"), "deg"
     )
     nbrs = iund.join(bcast(centers), "isrc")
-    n1 = nbrs.select(
-        F.col("isrc").alias("z"), F.col("idst").alias("a"),
-        F.col("deg").alias("dz"),
+    # wedge enumeration WITHOUT a self-join: collect each capped
+    # center's neighbor list (<= dmax elements) in ONE aggregation,
+    # then explode the a < b pairs with a higher-order filter — the
+    # neighbor frame crosses the network once (grouped), not twice
+    # (both sides of a self-join), and both sort passes disappear.
+    # Pair sets are identical to the n1-join-n2 formulation: for every
+    # center z, every unordered neighbor pair {a, b} appears exactly
+    # once (neighbors are distinct because ``iund`` is distinct).
+    adj = nbrs.groupBy(F.col("isrc").alias("z"), F.col("deg").alias("dz")).agg(
+        F.collect_list("idst").alias("nbs")
     )
-    n2 = nbrs.select(F.col("isrc").alias("z"), F.col("idst").alias("b"))
+    half = adj.select("dz", F.explode("nbs").alias("a"), "nbs")
+    pairs = half.select(
+        "dz",
+        "a",
+        F.explode(F.filter("nbs", lambda x: x > F.col("a"))).alias("b"),
+    )
     scores = (
-        n1.join(n2, "z")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("cn"),
             F.sum(F.expr("1000000000 div dz")).cast("long").alias("ra_nano"),

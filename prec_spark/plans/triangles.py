@@ -122,20 +122,31 @@ def triangle_counts_ids(ids: DataFrame, iund: DataFrame) -> DataFrame:
             | ((F.col("dsrc") == F.col("ddst")) & (F.col("isrc") < F.col("idst")))
         )
         .select("isrc", "idst", "ddst")
-        .localCheckpoint()  # read 3x (wedge x2 + close)
+        .localCheckpoint()  # read 2x (wedge + close)
     )
-    e1 = e.select(
-        F.col("isrc").alias("a"), F.col("idst").alias("b"),
-        F.col("ddst").alias("db"),
+    # wedge enumeration WITHOUT a self-join: collect each node's
+    # oriented out-neighbors (O(sqrt |E|) of them, the arboricity
+    # bound) in ONE aggregation, then explode the ordered pairs with a
+    # higher-order filter — the oriented edge list crosses the network
+    # once (grouped) instead of twice (both sides of a self-join), and
+    # both sort passes disappear.  Pair sets are identical to the
+    # e1-join-e2 formulation: per center a, every out-neighbor pair
+    # ordered by (ddst, idst).
+    adj = e.groupBy(F.col("isrc").alias("a")).agg(
+        F.collect_list(F.struct("ddst", "idst")).alias("nbs")
     )
-    e2 = e.select(
-        F.col("isrc").alias("a"), F.col("idst").alias("c"),
-        F.col("ddst").alias("dc"),
-    )
-    wedges = e1.join(e2, "a").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
+    half = adj.select("a", F.explode("nbs").alias("x"), "nbs")
+    wedges = half.select(
+        "a",
+        F.col("x.idst").alias("b"),
+        F.explode(
+            F.filter(
+                "nbs",
+                lambda y: (F.col("x.ddst") < y["ddst"])
+                | ((F.col("x.ddst") == y["ddst"]) & (F.col("x.idst") < y["idst"])),
+            )
+        ).alias("y"),
+    ).select("a", "b", F.col("y.idst").alias("c"))
     closing = e.select(F.col("isrc").alias("b"), F.col("idst").alias("c"))
     tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     corners = (
