@@ -82,7 +82,9 @@ def _reply_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin (the driver-gated query)."""
-    turns = transcripts_df(spark, sf_dir)
+    from ..cached import cached_transcripts
+
+    turns = cached_transcripts(spark, sf_dir)
     return _reply_pairs(turns, turns)
 
 

@@ -82,7 +82,7 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(conv_id, turn_idx, mention, entity_id, k, neg_entity_id): K
     deterministic corrupted entities per positive link; corruptions
     that hit the true entity are dropped (so some links carry < K)."""
-    pos = entity_links(spark, sf_dir).select(
+    pos = entity_links(spark, sf_dir, cached_transcripts(spark, sf_dir)).select(
         "conv_id", "turn_idx", "mention", "entity_id"
     )
     n = len(ENTITIES)
@@ -136,18 +136,32 @@ def entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(e1, e2, c_xy, lift_x1000): conversation-level co-occurrence
     lift between entity surface forms (e1 < e2)."""
     inc = (
-        entity_links(spark, sf_dir)
+        # the session-cached transcripts: the mention regexp then runs
+        # over the materialized text column instead of re-deriving the
+        # whole transcripts construction per call (measured 1.6 s vs
+        # 0.4 s for the links subtree at sf0.1)
+        entity_links(spark, sf_dir, cached_transcripts(spark, sf_dir))
         .select("conv_id", "mention")
         .distinct()
-        .localCheckpoint()  # read by N, c_x, and both join sides
+        # lazy: read by N, c_x and the pair enumeration, but the
+        # n_convs count below materializes it — an eager checkpoint
+        # would run the whole links subtree as an extra blocking job
+        .localCheckpoint(eager=False)
     )
     n_convs = inc.select("conv_id").distinct().count()
     cx = inc.groupBy("mention").agg(F.count(F.lit(1)).alias("c"))
-    a = inc.select("conv_id", F.col("mention").alias("e1"))
-    b = inc.select("conv_id", F.col("mention").alias("e2"))
+    # pair enumeration without a self-join (the same collect_list +
+    # ordered-pair explode as plans/linkpred.py): the incidence table
+    # crosses the network once, grouped by conversation, instead of
+    # twice as the two sides of a conv_id self-join.  Same pair
+    # multiset — mentions are distinct within a conversation, so every
+    # unordered pair appears exactly once per conversation.
+    adj = inc.groupBy("conv_id").agg(F.collect_list("mention").alias("ms"))
+    half = adj.select(F.explode("ms").alias("e1"), "ms")
     pairs = (
-        a.join(b, "conv_id")
-        .filter(F.col("e1") < F.col("e2"))
+        half.select(
+            "e1", F.explode(F.filter("ms", lambda x: x > F.col("e1"))).alias("e2")
+        )
         .groupBy("e1", "e2")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
     )
