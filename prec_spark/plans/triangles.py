@@ -83,11 +83,10 @@ def triangle_counts_from_und(und: DataFrame) -> DataFrame:
     )
     closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # one pass over tri (explode) instead of three union branches that
+    # would each re-derive the wedge+close subtree — same corner
+    # multiset, identical counts
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
@@ -104,14 +103,30 @@ def triangle_counts_ids(ids: DataFrame, iund: DataFrame) -> DataFrame:
     from .components import fits_broadcast
 
     spark = ids.sparkSession
+    n_nodes = ids.count()
+    # the symmetric distinct edge list orients each undirected edge
+    # exactly once, so the oriented list is |iund| / 2 rows — known
+    # without materializing it
+    n_e = iund.count() // 2
     deg = iund.groupBy(F.col("isrc").alias("n")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     bcast = (
         F.broadcast
-        if fits_broadcast(spark, ids.count())
+        if fits_broadcast(spark, n_nodes)
         else (lambda df: df)
     )
+    # closing-edge probe as a packed-single-long broadcast semi-join:
+    # the wedge frame then never shuffles at all (its (b, c) exchange
+    # and the oriented list's re-exchange both disappear).  Valid when
+    # the ids pack into 32 bits (dense nids, so n_nodes bounds them)
+    # and the packed key set fits the session's broadcast threshold
+    # (~24 B/row in a long-keyed hash relation).
+    try:
+        _thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        _thresh = 0
+    bcast_close = n_nodes < (1 << 31) and 0 < n_e * 24 <= _thresh
     ds = deg.select(F.col("n").alias("isrc"), F.col("deg").alias("dsrc"))
     dd = deg.select(F.col("n").alias("idst"), F.col("deg").alias("ddst"))
     e = (
@@ -122,7 +137,9 @@ def triangle_counts_ids(ids: DataFrame, iund: DataFrame) -> DataFrame:
             | ((F.col("dsrc") == F.col("ddst")) & (F.col("isrc") < F.col("idst")))
         )
         .select("isrc", "idst", "ddst")
-        .localCheckpoint()  # read 2x (wedge + close)
+        # read 2x (wedge + close); lazy so the first action
+        # materializes it in the same job instead of a blocking barrier
+        .localCheckpoint(eager=False)
     )
     # wedge enumeration WITHOUT a self-join: collect each node's
     # oriented out-neighbors (O(sqrt |E|) of them, the arboricity
@@ -147,13 +164,22 @@ def triangle_counts_ids(ids: DataFrame, iund: DataFrame) -> DataFrame:
             )
         ).alias("y"),
     ).select("a", "b", F.col("y.idst").alias("c"))
-    closing = e.select(F.col("isrc").alias("b"), F.col("idst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tri.select(F.col("a").alias("n"))
-        .unionAll(tri.select(F.col("b").alias("n")))
-        .unionAll(tri.select(F.col("c").alias("n")))
-    )
+    if bcast_close:
+        packed_e = e.select(
+            (F.col("isrc") * F.lit(1 << 32) + F.col("idst")).alias("bc")
+        )
+        tri = wedges.join(
+            F.broadcast(packed_e),
+            wedges["b"] * F.lit(1 << 32) + wedges["c"] == packed_e["bc"],
+            "leftsemi",
+        )
+    else:
+        closing = e.select(F.col("isrc").alias("b"), F.col("idst").alias("c"))
+        tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    # one pass over tri (explode) instead of three union branches that
+    # would each re-derive the wedge+close subtree — same corner
+    # multiset, identical counts
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
     cnt = corners.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     return ids.join(bcast(cnt), ids["nid"] == cnt["n"]).select("node", "n_tri")
 

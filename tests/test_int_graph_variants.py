@@ -57,6 +57,19 @@ def test_linkpred_int_matches_string(graph):
     )
 
 
+def test_triangles_broadcast_close_matches_shuffle_close(spark, graph):
+    und, ids, iund = graph
+    fast = _rows(triangle_counts_ids(ids, iund))
+    # force the shuffle-close fallback by disabling auto-broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        slow = _rows(triangle_counts_ids(ids, iund))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert fast == slow == _rows(triangle_counts_from_und(und))
+
+
 def test_components_broadcast_path_matches_fallback(spark, graph):
     und, ids, iund = graph
     fast = _rows(cc_iterate(und, und.select(F.col("src").alias("node")).distinct()))
