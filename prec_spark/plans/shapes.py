@@ -32,11 +32,30 @@ def shape_profile(triples: DataFrame) -> DataFrame:
     """(cls, pred, n_subjects, n_with, total_objs, min_per_subject,
     max_per_subject) for every (class, predicate) pair; n_subjects is
     the class size, min/max are over subjects CARRYING the predicate.
-    rdf:type itself is profiled too (a subject can be multi-typed)."""
-    types = triples.filter(F.col("p") == RDF_TYPE).select(
-        F.col("s"), F.col("o").alias("cls")
+    rdf:type itself is profiled too (a subject can be multi-typed).
+
+    One graph-sized shuffle total: the graph is hash-partitioned by
+    subject ONCE (with object values projected away except on type
+    rows, so literal payloads never cross the network), and every
+    subject-keyed step after it — the (s, p) aggregation, the type
+    slice, their join, and the distinct-subject class count — is
+    co-partitioned on ``s`` and therefore exchange-free.  Only the
+    final (class, predicate)-sized aggregates shuffle again, and those
+    are dictionary-sized.  This replaces a plan with three graph-scale
+    exchanges (the (s, p) aggregation, its re-shuffle by subject, and
+    the type slice's shuffle for the sort-merge join)."""
+    spark = triples.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kg_s = triples.select(
+        "s",
+        "p",
+        # class IRIs are the only object values read downstream
+        F.when(F.col("p") == RDF_TYPE, F.col("o")).alias("to"),
+    ).repartition(parts, "s")
+    types = kg_s.filter(F.col("p") == RDF_TYPE).select(
+        "s", F.col("to").alias("cls")
     )
-    sp = triples.groupBy("s", "p").agg(F.count(F.lit(1)).alias("n"))
+    sp = kg_s.groupBy("s", "p").agg(F.count(F.lit(1)).alias("n"))
     per_cls_pred = (
         types.join(sp, "s")
         .groupBy("cls", F.col("p").alias("pred"))
