@@ -82,19 +82,31 @@ def node2vec_walks(
     if undc is None:
         undc = capped_adjacency(und, cap).localCheckpoint()
     for k in range(1, steps + 1):
-        cand = (
-            frontier.join(undc, frontier["cur"] == undc["src"])
-            .select("walk", "prev", "cur", F.col("dst").alias("nb"))
-            .join(adj, ["prev", "nb"], "left")
-            .withColumn(
+        cand = frontier.join(undc, frontier["cur"] == undc["src"]).select(
+            "walk", "prev", "cur", F.col("dst").alias("nb")
+        )
+        if k == 1:
+            # prev = cur at the first step, and every candidate comes
+            # from undc(cur) ⊆ N(cur) = N(prev), so the prev-adjacency
+            # test is vacuously true: weights are W_RETURN for the
+            # self-return candidate and W_COMMON otherwise — the
+            # degenerate-to-uniform case the docstring describes, now
+            # WITHOUT paying the edge-list join for it (one fewer
+            # full-edge-probe join per corpus; values identical, and
+            # the oracle's join computes the same weights)
+            wgt = F.when(
+                F.col("nb") == F.col("prev"), F.lit(W_RETURN)
+            ).otherwise(F.lit(W_COMMON))
+            cand = cand.withColumn("wgt", wgt)
+        else:
+            cand = cand.join(adj, ["prev", "nb"], "left").withColumn(
                 "wgt",
                 F.when(F.col("nb") == F.col("prev"), F.lit(W_RETURN))
                 .when(F.col("is_common").isNotNull(), F.lit(W_COMMON))
                 .otherwise(F.lit(W_FAR)),
             )
-            .withColumn(
-                "j", F.explode(F.sequence(F.lit(0), F.col("wgt") - 1))
-            )
+        cand = cand.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.col("wgt") - 1))
         )
         h = _md5_int(
             F.concat(
