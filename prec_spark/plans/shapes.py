@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
 
-def shape_profile(triples: DataFrame) -> DataFrame:
+def shape_profile(
+    triples: DataFrame, subject_partitioned: bool = False
+) -> DataFrame:
     """(cls, pred, n_subjects, n_with, total_objs, min_per_subject,
     max_per_subject) for every (class, predicate) pair; n_subjects is
     the class size, min/max are over subjects CARRYING the predicate.
@@ -43,7 +45,11 @@ def shape_profile(triples: DataFrame) -> DataFrame:
     final (class, predicate)-sized aggregates shuffle again, and those
     are dictionary-sized.  This replaces a plan with three graph-scale
     exchanges (the (s, p) aggregation, its re-shuffle by subject, and
-    the type slice's shuffle for the sort-merge join)."""
+    the type slice's shuffle for the sort-merge join).
+
+    ``subject_partitioned=True`` promises the input is ALREADY
+    hash-partitioned by ``s`` (the entry point's session cache is) and
+    skips even that one exchange."""
     spark = triples.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     kg_s = triples.select(
@@ -51,7 +57,9 @@ def shape_profile(triples: DataFrame) -> DataFrame:
         "p",
         # class IRIs are the only object values read downstream
         F.when(F.col("p") == RDF_TYPE, F.col("o")).alias("to"),
-    ).repartition(parts, "s")
+    )
+    if not subject_partitioned:
+        kg_s = kg_s.repartition(parts, "s")
     types = kg_s.filter(F.col("p") == RDF_TYPE).select(
         "s", F.col("to").alias("cls")
     )
