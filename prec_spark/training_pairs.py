@@ -135,18 +135,26 @@ def kg_negative_samples_oracle_sql() -> str:
 def entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(e1, e2, c_xy, lift_x1000): conversation-level co-occurrence
     lift between entity surface forms (e1 < e2)."""
-    inc = (
+    from .cached import shared_cached_df
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    inc = shared_cached_df(
+        spark,
+        f"cooccur_inc:{sf_dir}",
         # the session-cached transcripts: the mention regexp then runs
         # over the materialized text column instead of re-deriving the
         # whole transcripts construction per call (measured 1.6 s vs
-        # 0.4 s for the links subtree at sf0.1)
-        entity_links(spark, sf_dir, cached_transcripts(spark, sf_dir))
+        # 0.4 s for the links subtree at sf0.1).  The incidence table
+        # is repartitioned by conv_id BEFORE the distinct, which makes
+        # the distinct, the conversation count, and the per-conversation
+        # adjacency grouping below all co-partitioned on conv_id — one
+        # exchange at cache build instead of one per consumer (the
+        # previous lazy checkpoint erased the partitioning, so every
+        # consumer re-shuffled)
+        lambda: entity_links(spark, sf_dir, cached_transcripts(spark, sf_dir))
         .select("conv_id", "mention")
-        .distinct()
-        # lazy: read by N, c_x and the pair enumeration, but the
-        # n_convs count below materializes it — an eager checkpoint
-        # would run the whole links subtree as an extra blocking job
-        .localCheckpoint(eager=False)
+        .repartition(parts, "conv_id")
+        .distinct(),
     )
     n_convs = inc.select("conv_id").distinct().count()
     cx = inc.groupBy("mention").agg(F.count(F.lit(1)).alias("c"))
