@@ -46,6 +46,57 @@ def shared_cached_df(
     return df
 
 
+_REG_CK: dict[tuple[str, str], DataFrame] = {}
+
+
+def release_shared() -> None:
+    """Drop the shared-frame memos so their storage can be reclaimed.
+
+    For gate-style harnesses that run MANY queries through one
+    small-heap session and free storage between them: ``clearCache()``
+    drops the columnar-cached frames (shared_cached_df re-marks them on
+    next use), but localCheckpoint blocks are pinned by the _REG_CK
+    references and would accumulate for the whole session.  Dropping
+    the registries makes those blocks unreferenced, so the caller's
+    driver GC releases them via the ContextCleaner; the next consumer
+    rebuilds through the memo-miss path — the same
+    drop-and-rebuild-on-demand lifecycle the cached frames already
+    have.  The bench and production sessions never call this: their
+    shared frames stay resident by design."""
+    _REG.clear()
+    _REG_CK.clear()
+
+
+def shared_checkpointed_df(
+    spark: SparkSession, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return ``build().localCheckpoint()``, memoized per (session, key).
+
+    The checkpoint sibling of ``shared_cached_df``, for shared frames
+    that downstream loops SCAN repeatedly WITHOUT relying on a cached
+    partitioning contract: checkpoint blocks read back as rows, with no
+    per-scan columnar decode (measured 25-30% on the walk corpora at
+    sf0.1), and match the eager materialization the walk operators
+    already use for their own intermediates.  NOT for the
+    hash-partitioned round frames (iund/iund_sl/edsl/wund_sl, the
+    s-partitioned KG cache): under AQE a localCheckpoint surfaces as a
+    LogicalRDD with UNKNOWN partitioning, so the exchange-elision those
+    frames were cached for would be lost and every consumer would
+    re-shuffle — verified by plan inspection, see OPTIMIZATION_r06.md.
+    Blocks live at MEMORY_AND_DISK until the session (or the memoized
+    reference) goes away; ``spark.catalog.clearCache()`` does not drop
+    them, which is exactly right for a session-scoped shared input."""
+    app = spark.sparkContext.applicationId
+    k = (app, key)
+    df = _REG_CK.get(k)
+    if df is None:
+        if any(a != app for (a, _) in _REG_CK):
+            _REG_CK.clear()  # previous session's entries are dead plans
+        df = build().localCheckpoint()
+        _REG_CK[k] = df
+    return df
+
+
 def cached_transcripts_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transcripts PG input cached once per session, augmented with
     ``next_idx`` (the NEXT-edge lead) computed once at cache build so

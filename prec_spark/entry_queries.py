@@ -14,7 +14,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cached import cached_transcripts, cached_transcripts_aug, shared_cached_df
+from .cached import (
+    cached_transcripts,
+    cached_transcripts_aug,
+    shared_cached_df,
+    shared_checkpointed_df,
+)
 from .flagship import EX, flagship_oracle_sql, flagship_triples
 from .pg.export import cypher_create_statements, gremlin_insert_statements
 from .pg.graphml import graphml_lines, graphml_oracle_sql
@@ -912,7 +917,7 @@ def _kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed degree histogram of the instance graph (see
     plans/degree.py; exact bit-length buckets, no floating log2) over
     the session-cached symmetric edge list."""
-    und = shared_cached_df(
+    und = shared_checkpointed_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
@@ -935,7 +940,16 @@ def _kg_instance_graph(spark: SparkSession, sf_dir: str):
     is the self-loop-augmented, idst-partitioned round frame that makes
     each propagation round one shuffle-free stage (plans/components.py
     selfloop_edges)."""
-    und = shared_cached_df(
+    # und is checkpoint-held, not columnar-cached: it carries no
+    # partitioning contract (its (src, dst)-distinct layout satisfies
+    # no consumer's clustering), and keeping the big string frame out
+    # of the columnar cache pool measured 15-45% on every
+    # instance-graph query in clean-session A/B (see cached.py
+    # shared_checkpointed_df and OPTIMIZATION_r06.md §15).  The
+    # hash-partitioned frames below STAY cached — a localCheckpoint
+    # would surface with unknown partitioning and re-add their
+    # exchanges.
+    und = shared_checkpointed_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
@@ -1153,7 +1167,7 @@ def _kg_wsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights); shares BOTH the session-cached symmetric edge list and
     the integer id encoding with kg_components/kg_bfs, so rounds
     shuffle dense integers, not bnode strings."""
-    und = shared_cached_df(
+    und = shared_checkpointed_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
@@ -1242,7 +1256,7 @@ def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style hash-seeded deterministic random-walk corpus
     over the KG instance graph (see plans/walks.py); shares the
     session-cached symmetric edge list with kg_components."""
-    und = shared_cached_df(
+    und = shared_checkpointed_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],
@@ -1251,9 +1265,16 @@ def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_undc(spark: SparkSession, sf_dir: str, und: DataFrame) -> DataFrame:
-    """Session-cached degree-capped adjacency view, shared by the two
-    walk corpora (the cap window dominates their warm cost)."""
-    return shared_cached_df(
+    """Session-shared degree-capped adjacency view, shared by the two
+    walk corpora (the cap window dominates their warm cost otherwise).
+    Held as a localCheckpoint rather than a columnar cache: the walk
+    loops re-scan this frame once per step and rely on no partitioning
+    contract, and reading checkpoint row blocks instead of decoding the
+    columnar cache per scan measured 25-30% per corpus at sf0.1
+    (clean-session A/B/A/B; see OPTIMIZATION_r06.md).  This matches the
+    eager localCheckpoint the operators themselves build when no shared
+    view is passed."""
+    return shared_checkpointed_df(
         spark, f"kg_undc:{sf_dir}", lambda: capped_adjacency(und)
     )
 
@@ -1262,7 +1283,7 @@ def _kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order (p, q)-biased walk corpus over the KG instance
     graph (see plans/node2vec.py); shares the session-cached symmetric
     edge list with kg_components / kg_random_walks."""
-    und = shared_cached_df(
+    und = shared_checkpointed_df(
         spark,
         f"kg_cc_und:{sf_dir}",
         lambda: cc_graph(instance_edges(_kg_cached(spark, sf_dir)))[0],

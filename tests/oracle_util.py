@@ -79,9 +79,15 @@ def _norm(v):
 
 def _release_storage(spark):
     """Drop per-query storage so 33 gate queries fit one 4 GiB session:
+    drop the session-shared frame memos (their localCheckpoint blocks
+    are pinned by the registry references and would otherwise
+    accumulate across the gate — prec_spark.cached.release_shared),
     clear catalog caches, then force a driver GC so the ContextCleaner
     releases now-unreferenced localCheckpoint / broadcast blocks (they
     are only cleaned after driver garbage collection)."""
+    from prec_spark.cached import release_shared
+
+    release_shared()
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()
